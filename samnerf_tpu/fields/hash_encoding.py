@@ -1,0 +1,43 @@
+"""Flax wrapper around the hash-grid encoding op."""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from samnerf_tpu.ops.encodings import hash_encode, hash_grid_scalings, init_hash_table
+
+
+class HashEncoding(nn.Module):
+    """Multi-resolution hash grid (reference config sites:
+    ``nerfstudio/fields/nerfacto_field.py:157-167`` (16x2 @ 2^19, 16->2048),
+    ``nerfstudio/fields/density_fields.py:73-99`` (5x2 @ 2^17),
+    ``samnerf/sam_field.py:96-110`` (12x8 @ 2^19, two pyramids)).
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    table_dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        """positions [N, 3] in [0,1] -> [N, L*F]."""
+        scalings = jnp.asarray(
+            hash_grid_scalings(self.num_levels, self.min_res, self.max_res),
+            dtype=jnp.float32)
+        table = self.param(
+            "table",
+            lambda key: init_hash_table(
+                key, self.num_levels, 1 << self.log2_hashmap_size,
+                self.features_per_level, dtype=self.table_dtype))
+        return hash_encode(table, positions, scalings, self.log2_hashmap_size)

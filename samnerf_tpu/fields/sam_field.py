@@ -1,0 +1,102 @@
+"""SAM / DINO / ClipSeg feature distillation field.
+
+Reference: ``samnerf/sam_field.py:25-140`` — two hash-grid pyramids
+(12 levels x 8 features @ 2^19; resolutions 16->128 and 128->512) feeding
+small MLPs that emit 256-d SAM, 384-d DINO and 192-d ClipSeg embeddings at
+contracted 3D points.  The ClipSeg head gets its own pair of pyramids
+(``sam_field.py:74-94``).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from samnerf_tpu.core.contraction import contract_to_unit
+from samnerf_tpu.fields.hash_encoding import HashEncoding
+from samnerf_tpu.fields.mlp import MLP
+
+
+class SAMField(nn.Module):
+    grid_layers: Tuple[int, ...] = (12, 12)
+    grid_sizes: Tuple[int, ...] = (19, 19)
+    grid_resolutions: Tuple[Tuple[int, int], ...] = ((16, 128), (128, 512))
+    features_per_level: int = 8
+    hidden_layers: int = 1
+    hidden_dim: int = 256
+    sam_dim: int = 256
+    dino_dim: int = 384
+    clipseg_dim: int = 192
+    use_dino: bool = False
+    use_clipseg: bool = True
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        def make_pyramids(name):
+            return [HashEncoding(num_levels=self.grid_layers[i],
+                                 min_res=self.grid_resolutions[i][0],
+                                 max_res=self.grid_resolutions[i][1],
+                                 log2_hashmap_size=self.grid_sizes[i],
+                                 features_per_level=self.features_per_level,
+                                 name=f"{name}_{i}")
+                    for i in range(len(self.grid_layers))]
+
+        self.sam_encs = make_pyramids("sam_enc")
+        self.sam_net = MLP(hidden_dim=self.hidden_dim,
+                           num_hidden_layers=self.hidden_layers,
+                           out_dim=self.sam_dim, compute_dtype=self.compute_dtype)
+        if self.use_dino:
+            self.dino_net = MLP(hidden_dim=self.hidden_dim, num_hidden_layers=1,
+                                out_dim=self.dino_dim,
+                                compute_dtype=self.compute_dtype)
+        if self.use_clipseg:
+            self.clipseg_encs = make_pyramids("clipseg_enc")
+            self.clipseg_net = MLP(hidden_dim=self.hidden_dim,
+                                   num_hidden_layers=1,
+                                   out_dim=self.clipseg_dim,
+                                   compute_dtype=self.compute_dtype)
+
+    def __call__(self, positions: jax.Array,
+                 get_features: Sequence[str] = ("sam", "clipseg")) -> dict:
+        """positions [R, K, 3] (world) -> dict of [R, K, C] features.
+
+        Positions are contracted + detached here, exactly as the reference
+        detaches them (``sam_field.py:116-118``).
+        """
+        p = contract_to_unit(jax.lax.stop_gradient(positions))
+        flat = p.reshape(-1, 3)
+        out = {}
+        if "sam" in get_features or ("dino" in get_features and self.use_dino):
+            x = jnp.concatenate([e(flat) for e in self.sam_encs], axis=-1)
+            if "sam" in get_features:
+                out["sam"] = self.sam_net(x).reshape(*positions.shape[:-1], self.sam_dim)
+            if "dino" in get_features and self.use_dino:
+                out["dino"] = self.dino_net(x).reshape(*positions.shape[:-1], self.dino_dim)
+        if "clipseg" in get_features and self.use_clipseg:
+            xc = jnp.concatenate([e(flat) for e in self.clipseg_encs], axis=-1)
+            out["clipseg"] = self.clipseg_net(xc).reshape(*positions.shape[:-1], self.clipseg_dim)
+        return out
+
+
+class ConvHead(nn.Module):
+    """Patch conv head applied to rendered SAM feature patches.
+
+    Reference: ``samnerf/sam_model.py:202-208`` — Conv(256,256,k) + ReLU +
+    Conv(256,256,k), then spatial mean (``sam_model.py:260-265``).
+    Operates NHWC: [N, ps, ps, 256] -> [N, 256].
+    """
+
+    kernel_size: int = 3
+    dim: int = 256
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = (self.kernel_size, self.kernel_size)
+        x = x.astype(self.compute_dtype)
+        x = nn.Conv(self.dim, k, padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.dim, k, padding="SAME", dtype=self.compute_dtype)(x)
+        return jnp.mean(x.astype(jnp.float32), axis=(-3, -2))

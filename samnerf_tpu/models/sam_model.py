@@ -1,0 +1,233 @@
+"""SAMModel: nerfacto radiance field + proposal sampling + SAM/ClipSeg
+feature distillation, as one jittable flax module.
+
+Reference behavior: ``samnerf/sam_model.py`` (SAMModel :179-335, config
+:140-161) over ``nerfstudio/models/nerfacto.py`` (NerfactoModel :140-344).
+The perception-side eval path (SAM decode, prompt locking) lives in
+:mod:`samnerf_tpu.engine.render_pipeline`; this module is the pure
+ray->outputs compute graph.
+
+Param tree top level mirrors the reference's optimizer groups
+(``samnerf/sam_model.py:330-335``): ``fields``, ``proposal_networks_*``,
+``sam_field``, ``conv``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from samnerf_tpu.core.rays import RayBundle
+from samnerf_tpu.fields.nerfacto_field import HashMLPDensityField, NerfactoField
+from samnerf_tpu.fields.sam_field import ConvHead, SAMField
+from samnerf_tpu.ops import losses as loss_ops
+from samnerf_tpu.ops import rendering as render_ops
+from samnerf_tpu.ops.samplers import proposal_sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMModelConfig:
+    """Config values mirror ``samnerf/samconfigs.py:104-164`` (distill preset)
+    and ``samnerf/sam_model.py:140-161`` / ``nerfstudio/models/nerfacto.py:68-137``
+    defaults."""
+
+    near_plane: float = 0.05
+    far_plane: float = 1000.0
+    background_color: str = "last_sample"
+    # nerfacto field
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    num_levels: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    use_appearance_embedding: bool = False
+    # proposal sampling (samconfigs.py:138-141: 1 iter, 64 prop, 32 nerf)
+    num_proposal_samples_per_ray: Tuple[int, ...] = (64,)
+    num_nerf_samples_per_ray: int = 32
+    proposal_update_every: int = 5
+    proposal_warmup: int = 5000
+    use_proposal_weight_anneal: bool = True
+    proposal_weights_anneal_slope: float = 10.0
+    proposal_weights_anneal_max_num_iters: int = 1000
+    use_single_jitter: bool = True
+    # proposal net args (nerfacto.py:103-108)
+    proposal_net_args: Tuple[Dict[str, Any], ...] = (
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 128},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 256},
+    )
+    # losses (nerfacto.py:112-115, sam_model.py:143-147)
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    sam_loss_weight: float = 1.0
+    dino_loss_weight: float = 1.0
+    clipseg_loss_weight: float = 1.0
+    # distillation (sam_model.py:151-161)
+    distill_sam: bool = True
+    use_dino_feature: bool = False
+    use_clipseg_feature: bool = True
+    num_sam_samples: int = 16
+    sharpening_temperature: float = 10.0
+    hidden_layers: int = 1
+    hashgrid_layers: Tuple[int, ...] = (12, 12)
+    hashgrid_resolutions: Tuple[Tuple[int, int], ...] = ((16, 128), (128, 512))
+    hashgrid_sizes: Tuple[int, ...] = (19, 19)
+    patch_size: int = 4
+    kernel_size: int = 3
+    # runtime
+    num_images: int = 1
+    compute_dtype: Any = jnp.float32
+    eval_num_rays_per_chunk: int = 1 << 15
+
+    @property
+    def num_proposal_iterations(self) -> int:
+        return len(self.num_proposal_samples_per_ray)
+
+
+class SAMModel(nn.Module):
+    """Jittable forward: RayBundle -> outputs dict."""
+
+    config: SAMModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.fields = NerfactoField(
+            num_images=cfg.num_images, hidden_dim=cfg.hidden_dim,
+            hidden_dim_color=cfg.hidden_dim_color, num_levels=cfg.num_levels,
+            max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
+            use_appearance_embedding=cfg.use_appearance_embedding,
+            compute_dtype=cfg.compute_dtype, name="fields")
+        props = []
+        for i in range(cfg.num_proposal_iterations):
+            args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
+            props.append(HashMLPDensityField(
+                compute_dtype=cfg.compute_dtype,
+                name=f"proposal_networks_{i}", **args))
+        self.proposal_networks = props
+        if cfg.distill_sam:
+            self.sam_field = SAMField(
+                grid_layers=cfg.hashgrid_layers, grid_sizes=cfg.hashgrid_sizes,
+                grid_resolutions=cfg.hashgrid_resolutions,
+                hidden_layers=cfg.hidden_layers,
+                use_dino=cfg.use_dino_feature,
+                use_clipseg=cfg.use_clipseg_feature,
+                compute_dtype=cfg.compute_dtype, name="sam_field")
+            self.conv = ConvHead(kernel_size=cfg.kernel_size,
+                                 compute_dtype=cfg.compute_dtype, name="conv")
+
+    def __call__(self, ray_bundle: RayBundle, rng: Optional[jax.Array] = None,
+                 train: bool = True, anneal: jax.Array | float = 1.0,
+                 proposal_grad: jax.Array | float = 1.0,
+                 get_features: Sequence[str] = ()) -> Dict[str, Any]:
+        """Render a flat bundle of rays (reference ``sam_model.py:226-278``).
+
+        Args:
+            get_features: subset of ("sam", "dino", "clipseg") to render.
+                With "sam" the ray count must be a multiple of patch_size^2
+                when patch_size > 1 (rays arrive patch-major from the patch
+                pixel sampler, ``pixel_samplers.py:248-296``).
+        """
+        cfg = self.config
+        ray_bundle = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
+
+        density_fns = [lambda pos, p=p: p(pos) for p in self.proposal_networks]
+        ray_samples, weights_list, ray_samples_list = proposal_sampling(
+            rng, ray_bundle, density_fns,
+            cfg.num_proposal_samples_per_ray, cfg.num_nerf_samples_per_ray,
+            stratified=train, single_jitter=cfg.use_single_jitter,
+            anneal=anneal, proposal_grad=proposal_grad)
+
+        field_out = self.fields(ray_samples.positions(), ray_samples.directions,
+                                ray_samples.camera_indices, train=train)
+        weights = ray_samples.get_weights(field_out["density"])
+        weights_list = list(weights_list) + [weights]
+        ray_samples_list = list(ray_samples_list) + [ray_samples]
+
+        rgb = render_ops.render_rgb(field_out["rgb"], weights,
+                                    background_color=cfg.background_color,
+                                    training=train)
+        outputs: Dict[str, Any] = {
+            "rgb": rgb,
+            "accumulation": render_ops.render_accumulation(weights),
+            "depth": render_ops.render_depth_median(weights, ray_samples),
+        }
+        if train:
+            outputs["weights_list"] = weights_list
+            outputs["ray_samples_list"] = ray_samples_list
+        else:
+            for i in range(cfg.num_proposal_iterations):
+                outputs[f"prop_depth_{i}"] = render_ops.render_depth_median(
+                    weights_list[i], ray_samples_list[i])
+
+        if cfg.distill_sam and len(get_features) > 0:
+            # Top-k + sharpen (sam_model.py:244-248); weights detached.
+            sam_weights, best_ids = render_ops.topk_sharpened_weights(
+                jax.lax.stop_gradient(weights), cfg.num_sam_samples,
+                cfg.sharpening_temperature)
+            sam_samples = ray_samples.take_topk(best_ids)
+            feats = self.sam_field(sam_samples.positions(),
+                                   get_features=get_features)
+            if "sam" in feats:
+                sam_render = render_ops.render_mean(feats["sam"], sam_weights)
+                if cfg.patch_size > 1:
+                    ps = cfg.patch_size
+                    patches = sam_render.reshape(-1, ps, ps, sam_render.shape[-1])
+                    outputs["sam"] = self.conv(patches)  # [N, 256]
+                else:
+                    outputs["sam"] = sam_render
+            if "dino" in feats:
+                outputs["dino"] = render_ops.render_mean(feats["dino"], sam_weights)
+            if "clipseg" in feats:
+                outputs["clipseg"] = render_ops.render_mean(feats["clipseg"], sam_weights)
+        return outputs
+
+
+def get_loss_dict(config: SAMModelConfig, outputs: Dict[str, Any],
+                  batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Training losses (``nerfacto.py:324-344`` + ``sam_model.py:316-328``).
+
+    ``batch['image']`` is [R, 3]; when patch_size > 1 the feature targets
+    ``batch['sam']`` are per-patch [N, 256] while rgb stays per-ray.
+    """
+    loss_dict = {
+        "rgb_loss": jnp.mean((batch["image"] - outputs["rgb"]) ** 2),
+        "interlevel_loss": config.interlevel_loss_mult * loss_ops.interlevel_loss(
+            outputs["weights_list"], outputs["ray_samples_list"]),
+        "distortion_loss": config.distortion_loss_mult * loss_ops.distortion_loss(
+            outputs["weights_list"], outputs["ray_samples_list"]),
+    }
+    if config.distill_sam and "sam" in outputs:
+        loss_dict["sam_loss"] = config.sam_loss_weight * loss_ops.masked_feature_mse(
+            outputs["sam"], batch["sam"])
+        if config.use_dino_feature and "dino" in outputs:
+            loss_dict["dino_loss"] = config.dino_loss_weight * loss_ops.masked_feature_mse(
+                outputs["dino"], batch["dino"])
+        if config.use_clipseg_feature and "clipseg" in outputs:
+            loss_dict["clipseg_loss"] = (config.clipseg_loss_weight *
+                                         loss_ops.masked_feature_mse(
+                                             outputs["clipseg"], batch["clipseg"]))
+    return loss_dict
+
+
+def proposal_anneal_value(config: SAMModelConfig, step: jax.Array) -> jax.Array:
+    """Weight-anneal schedule (``nerfacto.py:250-255``, mipnerf360 eq.18)."""
+    n = config.proposal_weights_anneal_max_num_iters
+    b = config.proposal_weights_anneal_slope
+    train_frac = jnp.clip(step / n, 0.0, 1.0)
+    return (b * train_frac) / ((b - 1.0) * train_frac + 1.0)
+
+
+def proposal_grad_gate(config: SAMModelConfig, step: jax.Array,
+                       steps_since_update: jax.Array) -> jax.Array:
+    """Update-schedule gate (``nerfacto.py:196-200``,
+    ``ray_samplers.py:572``): 1.0 when the proposal nets should receive
+    gradients this step, else 0.0."""
+    sched = jnp.clip(
+        jnp.interp(step.astype(jnp.float32),
+                   jnp.array([0.0, float(config.proposal_warmup)]),
+                   jnp.array([0.0, float(config.proposal_update_every)])),
+        1.0, float(config.proposal_update_every))
+    updated = (steps_since_update.astype(jnp.float32) > sched) | (step < 10)
+    return updated.astype(jnp.float32)

@@ -1,0 +1,133 @@
+"""Input encodings: multi-resolution hash grid and spherical harmonics.
+
+Hash grid semantics follow the reference's torch fallback
+(``nerfstudio/field_components/encodings.py:289-349``): per level L the
+position is scaled by ``floor(min_res * growth^L)``, the 8 cube corners are
+spatial-hashed with primes {1, 2654435761, 805459861} + XOR (Instant-NGP,
+PAPERS.md: arxiv 2201.05989), features gathered and trilinearly blended.
+
+TPU notes:
+- All corner hashing is done in uint32.  Since the table size divides 2^32,
+  uint32 wraparound multiplication gives bit-identical low bits to the
+  reference's int64 arithmetic, so ``mod 2^S`` results agree exactly.
+- The 8 corner gathers are expressed as one flat ``take`` over a
+  ``[L * 2^S, F]`` table so XLA emits a single fused gather (and a single
+  scatter-add in the backward pass).
+- Trilinear weights/accumulation run in fp32; the table itself may be bf16.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def hash_grid_scalings(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
+    """Per-level grid resolutions (``encodings.py:252-254``)."""
+    if num_levels == 1:
+        return np.array([float(min_res)])
+    growth = np.exp((np.log(max_res) - np.log(min_res)) / (num_levels - 1))
+    return np.floor(min_res * growth ** np.arange(num_levels))
+
+
+def init_hash_table(key: jax.Array, num_levels: int, table_size: int,
+                    features_per_level: int, scale: float = 1e-4,
+                    dtype=jnp.float32) -> jax.Array:
+    """U(-1, 1) * scale init (``encodings.py:256-258``, tcnn uses 1e-4)."""
+    shape = (num_levels * table_size, features_per_level)
+    return (jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0) * scale).astype(dtype)
+
+
+def hash_encode(table: jax.Array, positions: jax.Array, scalings: jax.Array,
+                log2_table_size: int) -> jax.Array:
+    """Multi-resolution hash encoding.
+
+    Args:
+        table: [L * 2^S, F] feature table.
+        positions: [N, 3] in [0, 1].
+        scalings: [L] per-level resolutions (static numpy or jnp array).
+        log2_table_size: S.
+
+    Returns:
+        [N, L * F] encoded features (fp32).
+    """
+    num_levels = scalings.shape[0]
+    table_size = 1 << log2_table_size
+    mask = jnp.uint32(table_size - 1)
+
+    scaled = positions[:, None, :].astype(jnp.float32) * scalings[None, :, None].astype(jnp.float32)
+    floor = jnp.floor(scaled)
+    offset = scaled - floor  # [N, L, 3] in [0,1)
+
+    base = floor.astype(jnp.int32).astype(jnp.uint32)  # [N, L, 3]
+    # Pre-multiply each axis by its prime once; corner = base or base+prime.
+    p = jnp.array(_PRIMES, dtype=jnp.uint32)
+    h0 = base * p  # [N, L, 3] per-axis hash contribution at floor
+    h1 = (base + jnp.uint32(1)) * p  # at floor+1 (== reference's ceil corner)
+
+    level_offset = (jnp.arange(num_levels, dtype=jnp.uint32) * jnp.uint32(table_size))[None, :]
+
+    out = None
+    # Unrolled 8-corner loop: static, lets XLA batch the gathers.
+    for cz in (0, 1):
+        hz = (h1 if cz else h0)[..., 2]
+        for cy in (0, 1):
+            hy = (h1 if cy else h0)[..., 1]
+            hzy = hz ^ hy
+            for cx in (0, 1):
+                hx = (h1 if cx else h0)[..., 0]
+                idx = ((hx ^ hzy) & mask) + level_offset  # [N, L]
+                feats = jnp.take(table, idx.astype(jnp.int32), axis=0)  # [N, L, F]
+                wx = offset[..., 0:1] if cx else (1.0 - offset[..., 0:1])
+                wy = offset[..., 1:2] if cy else (1.0 - offset[..., 1:2])
+                wz = offset[..., 2:3] if cz else (1.0 - offset[..., 2:3])
+                w = (wx * wy * wz)
+                contrib = feats.astype(jnp.float32) * w
+                out = contrib if out is None else out + contrib
+    return out.reshape(positions.shape[0], -1)  # [N, L*F]
+
+
+# --- Spherical harmonics (degree 4 = 16 components) --------------------------
+# Reference: tcnn SphericalHarmonics degree 4 used for view directions
+# (``nerfstudio/fields/nerfacto_field.py:144-150``); component formulas as in
+# ``nerfstudio/utils/math.py`` (components_from_spherical_harmonics).
+
+def sh_encoding(directions: jax.Array, levels: int = 4) -> jax.Array:
+    """Real SH components up to ``levels`` (16 outputs for levels=4).
+
+    Args:
+        directions: [..., 3] unit vectors.
+    """
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    comps = [jnp.full_like(x, 0.28209479177387814)]
+    if levels > 1:
+        comps += [-0.48860251190291987 * y,
+                  0.48860251190291987 * z,
+                  -0.48860251190291987 * x]
+    if levels > 2:
+        comps += [1.0925484305920792 * x * y,
+                  -1.0925484305920792 * y * z,
+                  0.94617469575755997 * zz - 0.31539156525251999,
+                  -1.0925484305920792 * x * z,
+                  0.54627421529603959 * (xx - yy)]
+    if levels > 3:
+        comps += [0.59004358992664352 * y * (-3.0 * xx + yy),
+                  2.8906114426405538 * x * y * z,
+                  0.45704579946446572 * y * (1.0 - 5.0 * zz),
+                  0.3731763325901154 * z * (5.0 * zz - 3.0),
+                  0.45704579946446572 * x * (1.0 - 5.0 * zz),
+                  1.4453057213202769 * z * (xx - yy),
+                  0.59004358992664352 * x * (-xx + 3.0 * yy)]
+    return jnp.stack(comps, axis=-1)
+
+
+def nerf_frequency_encoding(x: jax.Array, num_frequencies: int) -> jax.Array:
+    """Classic NeRF sin/cos encoding (``encodings.py:99-140`` semantics)."""
+    freqs = 2.0 ** jnp.arange(num_frequencies)
+    scaled = x[..., None] * freqs  # [..., D, F]
+    enc = jnp.concatenate([jnp.sin(jnp.pi * scaled), jnp.cos(jnp.pi * scaled)], axis=-1)
+    return enc.reshape(*x.shape[:-1], -1)

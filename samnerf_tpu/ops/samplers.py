@@ -1,0 +1,217 @@
+"""Ray samplers: stratified spaced sampling, inverse-CDF (PDF) resampling,
+and the proposal-network sampling loop.
+
+Reference semantics: ``nerfstudio/model_components/ray_samplers.py``
+(SpacedSampler :54-126, UniformLinDispPiecewiseSampler :223-246,
+PDFSampler :249-369, ProposalNetworkSampler :509-599).
+
+TPU redesign notes:
+- Static shapes everywhere; samplers are pure functions of (rng, rays).
+- ``searchsorted`` is replaced by a broadcast-compare rank count — S is
+  always <= ~100 here, so the O(S^2) compare runs entirely in the VPU and
+  fuses with its consumers, avoiding the serial binary search.
+- The reference's train/eval branching (``self.training``) becomes an
+  explicit ``stratified`` flag; the proposal update schedule's grad gating
+  becomes a traced 0/1 multiplier (no recompile per schedule step).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from samnerf_tpu.core.rays import RayBundle, RaySamples
+
+# --- spacing functions (UniformLinDispPiecewise, ray_samplers.py:240-246) ----
+
+def spacing_piecewise(x: jax.Array) -> jax.Array:
+    """First half uniform, second half linear in disparity."""
+    return jnp.where(x < 1.0, x / 2.0, 1.0 - 1.0 / (2.0 * x))
+
+
+def spacing_piecewise_inv(x: jax.Array) -> jax.Array:
+    return jnp.where(x < 0.5, 2.0 * x, 1.0 / (2.0 - 2.0 * x))
+
+
+def spacing_to_euclidean(s: jax.Array, s_near: jax.Array, s_far: jax.Array,
+                         spacing_inv: Callable = spacing_piecewise_inv) -> jax.Array:
+    """Undo the spacing warp (``ray_samplers.py:114-116``)."""
+    return spacing_inv(s * s_far + (1.0 - s) * s_near)
+
+
+def _make_ray_samples(ray_bundle: RayBundle, euclid_bins: jax.Array,
+                      spacing_bins: jax.Array, s_near: jax.Array,
+                      s_far: jax.Array) -> RaySamples:
+    """Package bin edges [R, S+1] into RaySamples [R, S]."""
+    return RaySamples(
+        origins=ray_bundle.origins,
+        directions=ray_bundle.directions,
+        starts=euclid_bins[..., :-1, None],
+        ends=euclid_bins[..., 1:, None],
+        spacing_starts=spacing_bins[..., :-1, None],
+        spacing_ends=spacing_bins[..., 1:, None],
+        s_near=s_near,
+        s_far=s_far,
+        pixel_area=ray_bundle.pixel_area,
+        camera_indices=ray_bundle.camera_indices,
+    )
+
+
+def initial_samples(rng: Optional[jax.Array], ray_bundle: RayBundle,
+                    num_samples: int, stratified: bool = True,
+                    single_jitter: bool = True,
+                    spacing_fn: Callable = spacing_piecewise,
+                    spacing_inv: Callable = spacing_piecewise_inv) -> RaySamples:
+    """Stratified spaced sampling (SpacedSampler, ``ray_samplers.py:79-126``)."""
+    num_rays = ray_bundle.origins.shape[0]
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1)[None, :]  # [1, S+1]
+
+    if stratified and rng is not None:
+        jitter_shape = (num_rays, 1) if single_jitter else (num_rays, num_samples + 1)
+        t_rand = jax.random.uniform(rng, jitter_shape)
+        bin_centers = (bins[..., 1:] + bins[..., :-1]) / 2.0
+        bin_upper = jnp.concatenate([bin_centers, bins[..., -1:]], axis=-1)
+        bin_lower = jnp.concatenate([bins[..., :1], bin_centers], axis=-1)
+        bins = bin_lower + (bin_upper - bin_lower) * t_rand  # [R, S+1]
+    else:
+        bins = jnp.broadcast_to(bins, (num_rays, num_samples + 1))
+
+    s_near = spacing_fn(ray_bundle.nears)  # [R, 1]
+    s_far = spacing_fn(ray_bundle.fars)
+    euclid_bins = spacing_to_euclidean(bins, s_near, s_far, spacing_inv)
+    return _make_ray_samples(ray_bundle, euclid_bins, bins, s_near, s_far)
+
+
+def searchsorted_right(sorted_seq: jax.Array, values: jax.Array) -> jax.Array:
+    """Batched searchsorted(side='right') via rank counting.
+
+    Args:
+        sorted_seq: [..., B] sorted along last axis.
+        values: [..., U].
+    Returns:
+        [..., U] int32 insertion indices.
+    """
+    return jnp.sum(
+        (sorted_seq[..., None, :] <= values[..., :, None]).astype(jnp.int32), axis=-1
+    )
+
+
+def pdf_samples(rng: Optional[jax.Array], ray_bundle: RayBundle,
+                ray_samples: RaySamples, weights: jax.Array, num_samples: int,
+                stratified: bool = True, single_jitter: bool = True,
+                histogram_padding: float = 0.01, include_original: bool = False,
+                eps: float = 1e-5,
+                spacing_inv: Callable = spacing_piecewise_inv) -> RaySamples:
+    """Inverse-CDF resampling (PDFSampler, ``ray_samplers.py:274-369``).
+
+    Args:
+        weights: [R, S_in, 1] compositing weights of the existing samples.
+    """
+    num_bins = num_samples + 1
+    w = weights[..., 0].astype(jnp.float32) + histogram_padding  # [R, S_in]
+
+    # Offset zero-weight rays to prevent NaNs (ray_samplers.py:304-308).
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    padding = jax.nn.relu(eps - w_sum)
+    w = w + padding / w.shape[-1]
+    w_sum = w_sum + padding
+
+    pdf = w / w_sum
+    cdf = jnp.minimum(jnp.ones_like(pdf), jnp.cumsum(pdf, axis=-1))
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, S_in+1]
+
+    u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)  # [U]
+    if stratified and rng is not None:
+        jitter_shape = ((cdf.shape[0], 1) if single_jitter
+                        else (cdf.shape[0], num_bins))
+        rand = jax.random.uniform(rng, jitter_shape) / num_bins
+        u = u[None, :] + rand
+    else:
+        u = u + 1.0 / (2 * num_bins)
+        u = jnp.broadcast_to(u[None, :], (cdf.shape[0], num_bins))
+
+    existing_bins = jnp.concatenate(
+        [ray_samples.spacing_starts[..., 0],
+         ray_samples.spacing_ends[..., -1:, 0]], axis=-1)  # [R, S_in+1]
+
+    inds = searchsorted_right(cdf, u)  # [R, U]
+    below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
+    above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+
+    t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
+    bins = bins_g0 + t * (bins_g1 - bins_g0)
+
+    if include_original:
+        bins = jnp.sort(jnp.concatenate([existing_bins, bins], axis=-1), axis=-1)
+
+    bins = jax.lax.stop_gradient(bins)
+    euclid_bins = spacing_to_euclidean(bins, ray_samples.s_near, ray_samples.s_far,
+                                       spacing_inv)
+    return _make_ray_samples(ray_bundle, euclid_bins, bins,
+                             ray_samples.s_near, ray_samples.s_far)
+
+
+def proposal_sampling(
+    rng: Optional[jax.Array],
+    ray_bundle: RayBundle,
+    density_fns: Sequence[Callable[[jax.Array], jax.Array]],
+    num_proposal_samples: Sequence[int],
+    num_nerf_samples: int,
+    stratified: bool = True,
+    single_jitter: bool = True,
+    anneal: jax.Array | float = 1.0,
+    proposal_grad: jax.Array | float = 1.0,
+) -> Tuple[RaySamples, List[jax.Array], List[RaySamples]]:
+    """Proposal-network sampling loop (``ray_samplers.py:558-599``).
+
+    Args:
+        density_fns: one callable per proposal level mapping positions
+            [R, S, 3] -> density [R, S, 1].
+        anneal: exponent on proposal weights before PDF resampling
+            (``ray_samplers.py:583``).
+        proposal_grad: traced 0/1 gate replacing the reference's
+            update-schedule no_grad toggle (``ray_samplers.py:586-591``):
+            1.0 -> grads flow into the proposal density; 0.0 -> stopped.
+
+    Returns:
+        (final nerf RaySamples, weights_list, ray_samples_list) where the
+        lists hold the proposal levels only (the caller appends the final
+        nerf weights, as the reference does in ``models/nerfacto.py:274-278``).
+    """
+    n = len(num_proposal_samples)
+    weights_list: List[jax.Array] = []
+    ray_samples_list: List[RaySamples] = []
+
+    keys = (jax.random.split(rng, n + 1) if rng is not None
+            else [None] * (n + 1))
+
+    weights = None
+    ray_samples = None
+    for i_level in range(n + 1):
+        is_prop = i_level < n
+        num_samples = num_proposal_samples[i_level] if is_prop else num_nerf_samples
+        if i_level == 0:
+            ray_samples = initial_samples(
+                keys[0], ray_bundle, num_samples,
+                stratified=stratified, single_jitter=single_jitter)
+        else:
+            annealed = jnp.power(weights, anneal)
+            ray_samples = pdf_samples(
+                keys[i_level], ray_bundle, ray_samples, annealed, num_samples,
+                stratified=stratified, single_jitter=single_jitter,
+                include_original=False)
+        if is_prop:
+            density = density_fns[i_level](ray_samples.positions())
+            # Traced grad gate: d*g + sg(d)*(1-g) has value d and grad g*dd.
+            g = proposal_grad
+            density = density * g + jax.lax.stop_gradient(density) * (1.0 - g)
+            weights = ray_samples.get_weights(density)
+            weights_list.append(weights)
+            ray_samples_list.append(ray_samples)
+
+    return ray_samples, weights_list, ray_samples_list
