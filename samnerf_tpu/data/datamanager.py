@@ -1,0 +1,141 @@
+"""DataManager: images + precomputed features -> per-step training batches.
+
+Reference: ``nerfstudio/data/datamanagers/base_datamanager.py:340-526``
+(VanillaDataManager) + ``samnerf/datamanager.py:22-117`` (SAMDataManager).
+
+TPU redesign:
+- all images are decoded once into a pinned host uint8 array (the
+  reference's CacheDataloader keeps float tensors on GPU);
+- ``next_train`` returns numpy ``indices`` + gathered rgb/feature targets;
+  world-space rays are generated *inside* the jitted train step from the
+  Cameras pytree (see ``core/cameras.generate_rays``), so the host->device
+  transfer per step is just a few MB;
+- feature maps stay in host RAM (SURVEY.md hard-parts #5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from samnerf_tpu.data.dataparser import (DataparserConfig, DataparserOutputs,
+                                         parse_nerfstudio_data)
+from samnerf_tpu.data.feature_loader import FeatureLoader, clipseg_pt_to_grid
+from samnerf_tpu.data.pixel_samplers import (patch_center_indices,
+                                             sample_patches, sample_uniform)
+
+
+@dataclasses.dataclass
+class DataManagerConfig:
+    """Mirrors ``samnerf/datamanager.py:22-29`` + base config fields."""
+    dataparser: DataparserConfig = dataclasses.field(default_factory=DataparserConfig)
+    train_num_rays_per_batch: int = 4096 * 4
+    eval_num_rays_per_batch: int = 4096 * 4
+    patch_size: int = 1
+    distill_sam: bool = False
+    use_dino_feature: bool = False
+    use_clipseg_feature: bool = False
+
+
+def _load_image(path: Path, downscale: int) -> np.ndarray:
+    """uint8 [H, W, 3]; honors nerfstudio's ``images_<d>/`` convention."""
+    from PIL import Image
+    path = Path(path)
+    if downscale > 1:
+        cand = path.parent.parent / f"{path.parent.name}_{downscale}" / path.name
+        if cand.exists():
+            path = cand
+    img = Image.open(path)
+    img = img.convert("RGB")
+    if downscale > 1 and "images_" not in str(path.parent.name):
+        img = img.resize((img.width // downscale, img.height // downscale),
+                         Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+class DataManager:
+    def __init__(self, config: DataManagerConfig, seed: int = 0,
+                 load_images: bool = True):
+        self.config = config
+        self.rng = np.random.default_rng(seed)
+        self.train_outputs: DataparserOutputs = parse_nerfstudio_data(
+            config.dataparser, split="train")
+        self.eval_outputs: DataparserOutputs = parse_nerfstudio_data(
+            config.dataparser, split="test")
+        self.cameras = self.train_outputs.cameras
+        self.eval_cameras = self.eval_outputs.cameras
+
+        if load_images:
+            df = self.train_outputs.downscale_factor
+            self.images = np.stack(
+                [_load_image(p, df) for p in self.train_outputs.image_filenames])
+            self.eval_images = np.stack(
+                [_load_image(p, df) for p in self.eval_outputs.image_filenames])
+        else:
+            self.images = None
+            self.eval_images = None
+
+        self.sam_loader = self.dino_loader = self.clipseg_loader = None
+        h, w = self.cameras.height, self.cameras.width
+        data_dir = Path(config.dataparser.data)
+        if config.distill_sam:
+            paths = [self._sibling(p, "sam_features", ".npy")
+                     for p in self.train_outputs.image_filenames]
+            self.sam_loader = FeatureLoader(paths, (h, w))
+        if config.use_dino_feature:
+            paths = [self._sibling(p, "dino_features", ".pt")
+                     for p in self.train_outputs.image_filenames]
+            self.dino_loader = FeatureLoader(paths, (h, w))
+        if config.use_clipseg_feature:
+            paths = [self._sibling(p, "clipseg_features", ".pt")
+                     for p in self.train_outputs.image_filenames]
+            self.clipseg_loader = FeatureLoader(paths, (h, w),
+                                                get_feature=clipseg_pt_to_grid)
+
+    @staticmethod
+    def _sibling(image_path: Path, subdir: str, ext: str) -> str:
+        """``<data>/<subdir>/<stem><ext>`` (``samnerf/datamanager.py:50-54``)."""
+        p = Path(image_path)
+        return str(p.parent.parent / subdir / (p.stem + ext))
+
+    @property
+    def num_train_images(self) -> int:
+        return self.cameras.num_cameras
+
+    def next_train(self, step: int) -> Dict[str, np.ndarray]:
+        """One training batch: indices + rgb (+ sam/dino/clipseg targets).
+
+        Reference flow: ``samnerf/datamanager.py:97-117``.
+        """
+        cfg = self.config
+        h, w = self.cameras.height, self.cameras.width
+        n = self.num_train_images
+        if cfg.patch_size > 1:
+            indices = sample_patches(self.rng, cfg.train_num_rays_per_batch, n,
+                                     h, w, cfg.patch_size)
+        else:
+            indices = sample_uniform(self.rng, cfg.train_num_rays_per_batch, n,
+                                     h, w)
+        batch: Dict[str, np.ndarray] = {"indices": indices}
+        batch["image"] = (self.images[indices[:, 0], indices[:, 1], indices[:, 2]]
+                          .astype(np.float32) / 255.0)
+        if self.sam_loader is not None:
+            centers = patch_center_indices(indices, cfg.patch_size)
+            batch["sam"] = self.sam_loader(centers)
+        if self.dino_loader is not None:
+            batch["dino"] = self.dino_loader(indices)
+        if self.clipseg_loader is not None:
+            batch["clipseg"] = self.clipseg_loader(indices)
+        return batch
+
+    def eval_image_batch(self, image_index: int) -> Dict[str, np.ndarray]:
+        h, w = self.eval_cameras.height, self.eval_cameras.width
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = np.stack([yy, xx], -1).reshape(-1, 2).astype(np.int32)
+        indices = np.concatenate(
+            [np.full((coords.shape[0], 1), image_index, np.int32), coords], -1)
+        return {"indices": indices,
+                "image": self.eval_images[image_index].astype(np.float32) / 255.0}

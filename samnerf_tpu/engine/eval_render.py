@@ -1,0 +1,150 @@
+"""Full-image rendering: rgb/depth/accumulation + low-res SAM and ClipSeg
+feature grids, as ONE jitted program per resolution.
+
+Reference: ``SAMModel.get_outputs_for_camera_ray_bundle``
+(``samnerf/sam_model.py:337-418``): full-res rgb pass in ray chunks, a
+separate (feature_h*ps x feature_w*ps) ray grid rearranged patch-major for
+the SAM feature render, and a 32x32 grid for ClipSeg.
+
+TPU redesign: the reference's python chunk loop (one kernel launch + host
+sync per 2^15 rays) becomes ``lax.map`` over fixed-size chunks inside a
+single jit — one dispatch and one device->host fetch per frame.  Pixel
+coordinates are generated on device from the static resolution, so nothing
+but the camera index crosses the host boundary.  One compiled executable
+per (height, width, feature-set); bucket resolutions to bound recompiles.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samnerf_tpu.core.cameras import Cameras, generate_rays
+from samnerf_tpu.models.sam_model import SAMModel
+
+
+def get_feature_size(h: int, w: int, largesize: int = 64) -> Tuple[int, int]:
+    """SAM's 64x64-embedding aspect logic (``samnerf/sam_utils.py:7-14``).
+
+    The reference leaves h == w to fall through (both sides = largesize).
+    """
+    if h < w:
+        return int(math.ceil(h / w * largesize)), largesize
+    if h > w:
+        return largesize, int(math.ceil(w / h * largesize))
+    return largesize, largesize
+
+
+def _chunked_coords(h: int, w: int, chunk: int) -> np.ndarray:
+    """Row-major full-image (row, col) coords, padded and chunked:
+    [n_chunks, chunk, 2] float32 (static; becomes a jit constant)."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([yy, xx], -1).reshape(-1, 2).astype(np.float32)
+    pad = (-coords.shape[0]) % chunk
+    if pad:
+        coords = np.concatenate([coords, np.tile(coords[-1:], (pad, 1))])
+    return coords.reshape(-1, chunk, 2)
+
+
+def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
+                         chunk: int) -> np.ndarray:
+    """Patch-major linspace ray grid (``sam_model.py:369-379``):
+    [n_chunks, chunk, 2]."""
+    hi = np.linspace(0, h - 1, fh * ps)
+    wi = np.linspace(0, w - 1, fw * ps)
+    hh, ww = np.meshgrid(hi, wi, indexing="ij")
+    grid = np.stack([hh, ww], -1).reshape(fh, ps, fw, ps, 2)
+    grid = grid.transpose(0, 2, 1, 3, 4).reshape(-1, 2).astype(np.float32)
+    pad = (-grid.shape[0]) % chunk
+    if pad:
+        grid = np.concatenate([grid, np.tile(grid[-1:], (pad, 1))])
+    return grid.reshape(-1, chunk, 2)
+
+
+class ImageRenderer:
+    """Per-resolution jitted frame renderers over a shared model."""
+
+    def __init__(self, model: SAMModel, chunk: int = 1 << 13):
+        self.model = model
+        self.cfg = model.config
+        self.chunk = chunk
+        self._frame_fns = {}
+
+    def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...]):
+        cfg = self.cfg
+        chunk = self.chunk
+        rgb_coords = jnp.asarray(_chunked_coords(h, w, chunk))
+        n_pix = h * w
+
+        sam_coords = None
+        fh = fw = None
+        if "sam" in features and cfg.distill_sam:
+            fh, fw = get_feature_size(h, w)
+            sam_coords = jnp.asarray(
+                _feature_grid_coords(h, w, fh, fw, cfg.patch_size, chunk))
+        clipseg_coords = None
+        if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
+            hi = np.linspace(0, h - 1, 32)
+            wi = np.linspace(0, w - 1, 32)
+            hh, ww = np.meshgrid(hi, wi, indexing="ij")
+            clipseg_coords = jnp.asarray(
+                np.stack([hh, ww], -1).reshape(1, 1024, 2).astype(np.float32))
+
+        def frame(params, cameras, cam_idx):
+            idx_template = jnp.full((chunk,), 0, jnp.int32)
+
+            def run(coords, get_features):
+                def body(c):
+                    rb = generate_rays(cameras, idx_template + cam_idx, c)
+                    return self.model.apply(params, rb, train=False,
+                                            get_features=get_features)
+                return jax.lax.map(body, coords)
+
+            out = run(rgb_coords, ())
+            outputs = {
+                "rgb": out["rgb"].reshape(-1, 3)[:n_pix].reshape(h, w, 3),
+                "depth": out["depth"].reshape(-1, 1)[:n_pix].reshape(h, w, 1),
+                "accumulation": out["accumulation"].reshape(-1, 1)[:n_pix]
+                .reshape(h, w, 1),
+            }
+            for i in range(cfg.num_proposal_iterations):
+                k = f"prop_depth_{i}"
+                outputs[k] = out[k].reshape(-1, 1)[:n_pix].reshape(h, w, 1)
+            if sam_coords is not None:
+                sam = run(sam_coords, ("sam",))["sam"]
+                outputs["sam"] = sam.reshape(-1, sam.shape[-1])[:fh * fw] \
+                    .reshape(fh, fw, -1)
+            if clipseg_coords is not None:
+                cs = run(clipseg_coords, ("clipseg",))["clipseg"]
+                outputs["clipseg"] = cs.reshape(32, 32, -1)
+            return outputs
+
+        return jax.jit(frame)
+
+    def render_image(self, params, cameras: Cameras, camera_index: int,
+                     width: Optional[int] = None, height: Optional[int] = None,
+                     features: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
+        """Render one camera; returns host numpy arrays."""
+        h = height or cameras.height
+        w = width or cameras.width
+        key = (h, w, tuple(features))
+        if key not in self._frame_fns:
+            self._frame_fns[key] = self._build_frame_fn(h, w, tuple(features))
+        out = self._frame_fns[key](params, cameras,
+                                   jnp.asarray(camera_index, jnp.int32))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def render_image_device(self, params, cameras: Cameras, camera_index,
+                            width: int, height: int,
+                            features: Tuple[str, ...] = ()):
+        """Device-resident variant (viewer keeps arrays on device)."""
+        key = (height, width, tuple(features))
+        if key not in self._frame_fns:
+            self._frame_fns[key] = self._build_frame_fn(height, width,
+                                                        tuple(features))
+        return self._frame_fns[key](params, cameras,
+                                    jnp.asarray(camera_index, jnp.int32))

@@ -1,0 +1,205 @@
+"""Trainer: jitted data-parallel train step, eval, checkpointing.
+
+Reference: ``nerfstudio/engine/trainer.py`` (Trainer :137-477) — redesigned
+around one donated, pjit-sharded ``train_step``:
+
+- AMP autocast + GradScaler (``trainer.py:419-423``) -> bf16 compute dtype
+  inside the fields, fp32 params/optimizer, no scaler;
+- DDP backward all-reduce -> XLA psum inserted automatically by jit over a
+  ``data``-sharded batch with replicated params;
+- the proposal-sampler step callbacks (``nerfacto.py:242-271``) become
+  traced schedule values carried in TrainState.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from samnerf_tpu.core.cameras import Cameras, generate_rays
+from samnerf_tpu.core.rays import RayBundle
+from samnerf_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+from samnerf_tpu.models.sam_model import (SAMModel, SAMModelConfig,
+                                          get_loss_dict, proposal_anneal_value,
+                                          proposal_grad_gate)
+from samnerf_tpu.parallel import mesh as mesh_lib
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32
+    steps_since_update: jax.Array  # int32 (ray_samplers.py:546,553-556)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Subset of ``nerfstudio/engine/trainer.py:61-89`` that is live on TPU."""
+    max_num_iterations: int = 10000
+    steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 10000000
+    save_only_latest_checkpoint: bool = True
+    output_dir: Path = Path("outputs")
+    load_dir: Optional[Path] = None
+    log_every: int = 100
+    seed: int = 42
+
+
+def make_train_step(model: SAMModel, cfg: SAMModelConfig,
+                    optimizer: optax.GradientTransformation,
+                    get_features: Tuple[str, ...]):
+    """Build the pure train step: (state, cameras, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, cameras: Cameras,
+                   batch: Dict[str, jax.Array], rng: jax.Array):
+        anneal = proposal_anneal_value(cfg, state.step)
+        gate = proposal_grad_gate(cfg, state.step, state.steps_since_update)
+        indices = batch["indices"]
+        ray_bundle = generate_rays(cameras, indices[:, 0], indices[:, 1:])
+
+        def loss_fn(params):
+            outputs = model.apply(params, ray_bundle, rng=rng, train=True,
+                                  anneal=anneal, proposal_grad=gate,
+                                  get_features=get_features)
+            loss_dict = get_loss_dict(cfg, outputs, batch)
+            total = sum(loss_dict.values())
+            psnr = -10.0 * jnp.log10(
+                jnp.maximum(loss_dict["rgb_loss"], 1e-10))
+            return total, (loss_dict, psnr)
+
+        (loss, (loss_dict, psnr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            steps_since_update=jnp.where(
+                gate > 0, 0, state.steps_since_update + 1).astype(jnp.int32))
+        metrics = dict(loss_dict, total_loss=loss, psnr=psnr)
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Training loop (``trainer.py:207-273`` redesigned).
+
+    The viewer's train_lock/render interleaving is cooperative here: the
+    loop yields between steps via ``step_callback``.
+    """
+
+    def __init__(self, model_cfg: SAMModelConfig, trainer_cfg: TrainerConfig,
+                 optimizer_groups: Dict[str, OptimizerGroupConfig],
+                 datamanager, num_devices: Optional[int] = None):
+        self.model_cfg = model_cfg
+        self.cfg = trainer_cfg
+        self.datamanager = datamanager
+        self.model = SAMModel(model_cfg)
+        self.mesh = mesh_lib.make_mesh(num_devices)
+        self.get_features = tuple(
+            f for f, on in (("sam", model_cfg.distill_sam),
+                            ("dino", model_cfg.use_dino_feature),
+                            ("clipseg", model_cfg.use_clipseg_feature))
+            if on and model_cfg.distill_sam)
+
+        # init params
+        rng = jax.random.PRNGKey(trainer_cfg.seed)
+        batch = datamanager.next_train(0)
+        cameras = jax.tree.map(jnp.asarray, datamanager.cameras)
+        bundle = generate_rays(cameras,
+                               jnp.asarray(batch["indices"][:, 0]),
+                               jnp.asarray(batch["indices"][:, 1:]))
+        params = self.model.init(rng, bundle, rng=rng, train=True,
+                                 get_features=self.get_features)
+        self.optimizer = build_optimizer(optimizer_groups, params)
+        self.state = TrainState(
+            params=params, opt_state=self.optimizer.init(params),
+            step=jnp.asarray(0, jnp.int32),
+            steps_since_update=jnp.asarray(0, jnp.int32))
+
+        # shard: params/cameras replicated, batch sharded over data axis
+        repl = mesh_lib.replicated(self.mesh)
+        data = mesh_lib.data_sharding(self.mesh)
+        self.cameras = jax.device_put(cameras, repl)
+        self.state = jax.device_put(self.state, repl)
+        batch_sharding = {k: data for k in batch}
+        step_fn = make_train_step(self.model, self.model_cfg, self.optimizer,
+                                  self.get_features)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, batch_sharding, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,))
+        self._rng = jax.random.PRNGKey(trainer_cfg.seed + 1)
+        self.metrics_history = []
+
+    def train_iteration(self, step: int) -> Dict[str, float]:
+        batch = self.datamanager.next_train(step)
+        self._rng, key = jax.random.split(self._rng)
+        self.state, metrics = self._train_step(self.state, self.cameras,
+                                               batch, key)
+        return metrics
+
+    def train(self, step_callback: Optional[Callable[[int, Dict], None]] = None):
+        t0 = time.time()
+        num_rays = self.datamanager.config.train_num_rays_per_batch
+        for step in range(self.cfg.max_num_iterations):
+            metrics = self.train_iteration(step)
+            if step % self.cfg.log_every == 0 or step == self.cfg.max_num_iterations - 1:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                dt = time.time() - t0
+                rays_per_sec = num_rays * (step + 1) / max(dt, 1e-9)
+                print(f"step {step}: loss={m['total_loss']:.5f} "
+                      f"psnr={m['psnr']:.2f} rays/s={rays_per_sec:,.0f}")
+                self.metrics_history.append((step, m))
+            if step_callback is not None:
+                step_callback(step, metrics)
+            if (step + 1) % self.cfg.steps_per_save == 0:
+                self.save_checkpoint(step + 1)
+        return self.state
+
+    # --- checkpointing (trainer.py:357-406) -------------------------------
+    def _ckpt_dir(self) -> Path:
+        d = Path(self.cfg.output_dir) / "samnerf_tpu_ckpts"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def save_checkpoint(self, step: int):
+        if not mesh_lib.is_main_process():
+            return
+        import orbax.checkpoint as ocp
+        path = self._ckpt_dir() / f"step-{step:09d}"
+        ckpt = {"params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "step": int(self.state.step),
+                "steps_since_update": int(self.state.steps_since_update)}
+        with ocp.StandardCheckpointer() as saver:
+            saver.save(path.absolute(), ckpt, force=True)
+        if self.cfg.save_only_latest_checkpoint:
+            for old in sorted(self._ckpt_dir().glob("step-*"))[:-1]:
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
+
+    def load_checkpoint(self, path: Path):
+        import orbax.checkpoint as ocp
+        template = {"params": jax.device_get(self.state.params),
+                    "opt_state": jax.device_get(self.state.opt_state),
+                    "step": 0, "steps_since_update": 0}
+        with ocp.StandardCheckpointer() as loader:
+            ckpt = loader.restore(Path(path).absolute(), template)
+        repl = mesh_lib.replicated(self.mesh)
+        self.state = jax.device_put(TrainState(
+            params=ckpt["params"], opt_state=ckpt["opt_state"],
+            step=jnp.asarray(ckpt["step"], jnp.int32),
+            steps_since_update=jnp.asarray(ckpt["steps_since_update"],
+                                           jnp.int32)), repl)

@@ -1,0 +1,90 @@
+"""Training entrypoint.
+
+Reference: ``samnerf/train.py`` (entrypoint :246-255, main :220, launch
+:149, train_loop :79).  The multiprocess NCCL launcher (mp.spawn +
+init_process_group, :93-146) is replaced by JAX's single-process-per-host
+runtime: one process drives all local TPU chips through the mesh; multi-host
+uses ``jax.distributed.initialize`` (see ``parallel/mesh.py``).
+
+Usage:
+    python -m samnerf_tpu.train samnerf_distill --data /path/to/scene \
+        [--trainer.max-num-iterations N] [--machine.num-devices N] ...
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from samnerf_tpu.configs.cli import apply_overrides
+from samnerf_tpu.configs.methods import MethodConfig, method_configs
+
+
+def train_loop(config: MethodConfig, num_devices=None):
+    """``samnerf/train.py:79-90`` equivalent: seed + build + train."""
+    from samnerf_tpu.data.datamanager import DataManager
+    from samnerf_tpu.engine.trainer import Trainer
+
+    seed = config.trainer.seed
+    random.seed(seed)
+    np.random.seed(seed)
+
+    dm = DataManager(config.datamanager, seed=seed)
+    num_images = dm.num_train_images
+    model_cfg = dataclasses.replace(config.model, num_images=num_images)
+    trainer = Trainer(model_cfg, config.trainer, config.optimizers, dm,
+                      num_devices=num_devices)
+    trainer.train()
+    return trainer
+
+
+def save_config(config: MethodConfig):
+    """Persist the resolved config per run (``experiment_config.py:117-130``)."""
+    out = Path(config.trainer.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, (Path,)):
+            return str(o)
+        if isinstance(o, dict):
+            return {k: enc(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [enc(v) for v in o]
+        if o is None or isinstance(o, (bool, int, float, str)):
+            return o
+        return str(o)  # dtypes and other non-JSON leaves
+
+    (out / "config.json").write_text(json.dumps(enc(config), indent=2))
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    registry = method_configs()
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("methods:", ", ".join(registry))
+        return 0
+    method = argv.pop(0)
+    if method not in registry:
+        print(f"unknown method {method!r}; available: {', '.join(registry)}")
+        return 2
+    config = registry[method]
+    config = apply_overrides(config, argv)
+    timestamp = time.strftime("%Y-%m-%d_%H%M%S")
+    config.trainer.output_dir = (Path(config.trainer.output_dir) /
+                                 Path(config.datamanager.dataparser.data).name /
+                                 method / timestamp)
+    save_config(config)
+    train_loop(config)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
