@@ -52,6 +52,12 @@ class TrainerConfig:
     load_dir: Optional[Path] = None
     log_every: int = 100
     seed: int = 42
+    use_device_data: bool = True
+    """Keep the whole training set in HBM and sample batches in-jit
+    (replaces the reference's per-step host gather, see data/device_data.py)."""
+    steps_per_dispatch: int = 20
+    """Training steps fused into one dispatch via lax.scan (amortizes
+    host->device dispatch latency; metrics reported from the last step)."""
 
 
 def make_train_step(model: SAMModel, cfg: SAMModelConfig,
@@ -91,6 +97,35 @@ def make_train_step(model: SAMModel, cfg: SAMModelConfig,
     return train_step
 
 
+def make_fused_train_step(model: SAMModel, cfg: SAMModelConfig,
+                          optimizer: optax.GradientTransformation,
+                          get_features: Tuple[str, ...],
+                          batch_size: int, patch_size: int, image_hw,
+                          n_steps: int, batch_sharding=None):
+    """``n_steps`` training steps in one jitted dispatch: device-side batch
+    sampling (data/device_data.py) + lax.scan over the base step."""
+    from samnerf_tpu.data.device_data import sample_batch
+
+    base = make_train_step(model, cfg, optimizer, get_features)
+
+    def fused(state: TrainState, cameras: Cameras,
+              data: Dict[str, jax.Array], key: jax.Array):
+        def one(state, k):
+            k_sample, k_model = jax.random.split(k)
+            batch = sample_batch(k_sample, data, batch_size, patch_size,
+                                 image_hw)
+            if batch_sharding is not None:
+                batch = {name: jax.lax.with_sharding_constraint(
+                    v, batch_sharding) for name, v in batch.items()}
+            return base(state, cameras, batch, k_model)
+
+        keys = jax.random.split(key, n_steps)
+        state, metrics = jax.lax.scan(one, state, keys)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return fused
+
+
 class Trainer:
     """Training loop (``trainer.py:207-273`` redesigned).
 
@@ -119,8 +154,11 @@ class Trainer:
         bundle = generate_rays(cameras,
                                jnp.asarray(batch["indices"][:, 0]),
                                jnp.asarray(batch["indices"][:, 1:]))
-        params = self.model.init(rng, bundle, rng=rng, train=True,
-                                 get_features=self.get_features)
+        # jitted init: eager init dispatches thousands of tiny ops, which is
+        # pathological through a remote-device tunnel
+        init_fn = jax.jit(lambda r, b: self.model.init(
+            r, b, rng=r, train=True, get_features=self.get_features))
+        params = init_fn(rng, bundle)
         self.optimizer = build_optimizer(optimizer_groups, params)
         self.state = TrainState(
             params=params, opt_state=self.optimizer.init(params),
@@ -140,6 +178,27 @@ class Trainer:
             in_shardings=(repl, repl, batch_sharding, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
+
+        self._fused_step = None
+        self.device_data = None
+        if trainer_cfg.use_device_data and datamanager.images is not None:
+            from samnerf_tpu.data.device_data import build_device_dataset
+            self.device_data = jax.device_put(
+                build_device_dataset(datamanager), repl)
+            fused = make_fused_train_step(
+                self.model, self.model_cfg, self.optimizer, self.get_features,
+                batch_size=datamanager.config.train_num_rays_per_batch,
+                patch_size=datamanager.config.patch_size,
+                image_hw=(datamanager.cameras.height,
+                          datamanager.cameras.width),
+                n_steps=trainer_cfg.steps_per_dispatch,
+                batch_sharding=data)
+            self._fused_step = jax.jit(
+                fused,
+                in_shardings=(repl, repl, jax.tree.map(lambda _: repl,
+                                                       self.device_data), repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,))
         self._rng = jax.random.PRNGKey(trainer_cfg.seed + 1)
         self.metrics_history = []
 
@@ -153,19 +212,34 @@ class Trainer:
     def train(self, step_callback: Optional[Callable[[int, Dict], None]] = None):
         t0 = time.time()
         num_rays = self.datamanager.config.train_num_rays_per_batch
-        for step in range(self.cfg.max_num_iterations):
-            metrics = self.train_iteration(step)
-            if step % self.cfg.log_every == 0 or step == self.cfg.max_num_iterations - 1:
+        block = (self.cfg.steps_per_dispatch
+                 if self._fused_step is not None else 1)
+        step = 0
+        next_save = self.cfg.steps_per_save
+        while step < self.cfg.max_num_iterations:
+            n = min(block, self.cfg.max_num_iterations - step)
+            self._rng, key = jax.random.split(self._rng)
+            if self._fused_step is not None and n == block:
+                self.state, metrics = self._fused_step(
+                    self.state, self.cameras, self.device_data, key)
+                step += n
+            else:
+                metrics = self.train_iteration(step)
+                step += 1
+            if (step - 1) // max(self.cfg.log_every, 1) != \
+                    (step - 1 - n) // max(self.cfg.log_every, 1) or \
+                    step >= self.cfg.max_num_iterations:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 dt = time.time() - t0
-                rays_per_sec = num_rays * (step + 1) / max(dt, 1e-9)
+                rays_per_sec = num_rays * step / max(dt, 1e-9)
                 print(f"step {step}: loss={m['total_loss']:.5f} "
                       f"psnr={m['psnr']:.2f} rays/s={rays_per_sec:,.0f}")
                 self.metrics_history.append((step, m))
             if step_callback is not None:
                 step_callback(step, metrics)
-            if (step + 1) % self.cfg.steps_per_save == 0:
-                self.save_checkpoint(step + 1)
+            if step >= next_save:
+                self.save_checkpoint(step)
+                next_save += self.cfg.steps_per_save
         return self.state
 
     # --- checkpointing (trainer.py:357-406) -------------------------------

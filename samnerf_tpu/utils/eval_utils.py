@@ -1,0 +1,69 @@
+"""Checkpoint-based evaluation setup.
+
+Reference: ``nerfstudio/utils/eval_utils.py:36-107`` (``eval_setup``: load
+config.yml + latest checkpoint -> pipeline) and ``scripts/eval.py:21-60``
+(ComputePSNR writing PSNR/SSIM JSON).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def find_latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
+    """``eval_utils.py:36-66``: pick the highest ``step-*`` directory."""
+    ckpts = sorted(Path(ckpt_dir).glob("step-*"))
+    return ckpts[-1] if ckpts else None
+
+
+def eval_setup(run_dir: Path):
+    """Rebuild (trainer, config) from a run directory containing
+    ``config.json`` + ``samnerf_tpu_ckpts/`` (``eval_utils.py:68-107``)."""
+    from samnerf_tpu.configs.methods import method_configs
+    from samnerf_tpu.data.datamanager import DataManager
+    from samnerf_tpu.engine.trainer import Trainer
+
+    run_dir = Path(run_dir)
+    raw = json.loads((run_dir / "config.json").read_text())
+    method = raw["method_name"]
+    config = method_configs()[method]
+    # restore the fields that matter for reconstruction
+    config.datamanager.dataparser.data = Path(
+        raw["datamanager"]["dataparser"]["data"])
+    config.trainer.output_dir = run_dir
+    dm = DataManager(config.datamanager)
+    model_cfg = dataclasses.replace(config.model,
+                                    num_images=dm.num_train_images)
+    trainer = Trainer(model_cfg, config.trainer, config.optimizers, dm)
+    ckpt = find_latest_checkpoint(run_dir / "samnerf_tpu_ckpts")
+    if ckpt is not None:
+        trainer.load_checkpoint(ckpt)
+    return trainer, config
+
+
+def compute_eval_metrics(trainer, max_images: Optional[int] = None) -> dict:
+    """PSNR/SSIM over the eval split (``scripts/eval.py:21-60``)."""
+    import jax.numpy as jnp
+
+    from samnerf_tpu.engine.eval_render import ImageRenderer
+    from samnerf_tpu.utils.metrics import psnr, ssim
+
+    renderer = ImageRenderer(trainer.model)
+    dm = trainer.datamanager
+    import jax
+    cams = jax.tree.map(jnp.asarray, dm.eval_cameras)
+    n = dm.eval_cameras.num_cameras
+    if max_images is not None:
+        n = min(n, max_images)
+    psnrs, ssims = [], []
+    for i in range(n):
+        out = renderer.render_image(trainer.state.params, cams, i)
+        gt = dm.eval_images[i].astype(np.float32) / 255.0
+        psnrs.append(float(psnr(jnp.asarray(out["rgb"]), jnp.asarray(gt))))
+        ssims.append(float(ssim(jnp.asarray(out["rgb"]), jnp.asarray(gt))))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "num_images": n}

@@ -1,0 +1,124 @@
+"""Websocket broadcast server for the viewer.
+
+Reference: ``nerfstudio/viewer/viser/server.py:31-68`` (ViserServer over
+``viser.infra``) + the send helpers in ``viewer/viser/message_api.py``
+(set_background_image :393-407, use_sam/clear_sam_pins/update_fps
+:425, :542-553).
+
+Self-contained asyncio ``websockets`` server on a daemon thread: incoming
+messages are decoded and dispatched to registered handlers; outgoing
+messages broadcast to every client, with per-redundancy-key buffering so a
+late-joining client receives the latest state (what viser.infra's
+persistent message buffer does).
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import io
+import threading
+from typing import Callable, Dict, List, Optional, Type
+
+import numpy as np
+
+from samnerf_tpu.viewer import messages as m
+
+
+class ViewerServer:
+    def __init__(self, host: str = "0.0.0.0", port: int = 7007):
+        self.host = host
+        self.port = port
+        self._handlers: Dict[Type[m.Message], List[Callable]] = {}
+        self._buffer: Dict[str, m.Message] = {}  # redundancy_key -> latest
+        self._clients: set = set()
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+
+    # --- lifecycle ---------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        self._started.wait(timeout=10)
+
+    def _run(self):
+        asyncio.run(self._main())
+
+    async def _main(self):
+        import websockets
+        self._loop = asyncio.get_running_loop()
+        async with websockets.serve(self._handle_client, self.host, self.port,
+                                    max_size=None):
+            self._started.set()
+            await asyncio.Future()  # run forever
+
+    async def _handle_client(self, ws):
+        self._clients.add(ws)
+        try:
+            # replay buffered state to the new client
+            for msg in list(self._buffer.values()):
+                await ws.send(msg.serialize())
+            async for data in ws:
+                try:
+                    msg = m.Message.deserialize(data)
+                except Exception:
+                    continue
+                for handler in self._handlers.get(type(msg), []):
+                    handler(msg)
+        finally:
+            self._clients.discard(ws)
+
+    # --- API ----------------------------------------------------------------
+    def register_handler(self, msg_type: Type[m.Message],
+                         handler: Callable) -> None:
+        self._handlers.setdefault(msg_type, []).append(handler)
+
+    def broadcast(self, msg: m.Message) -> None:
+        self._buffer[msg.redundancy_key()] = msg
+        if self._loop is None:
+            return
+        data = msg.serialize()
+
+        def _send():
+            for ws in list(self._clients):
+                asyncio.ensure_future(ws.send(data))
+
+        self._loop.call_soon_threadsafe(_send)
+
+    # --- convenience senders (message_api.py names) -------------------------
+    def set_background_image(self, image: np.ndarray,
+                             file_format: str = "jpeg",
+                             quality: int = 70) -> None:
+        """uint8 [H, W, 3] -> base64 BackgroundImageMessage
+        (``message_api.py:393-407``)."""
+        from PIL import Image
+        buf = io.BytesIO()
+        pil = Image.fromarray(image)
+        if file_format == "jpeg":
+            pil.save(buf, format="JPEG", quality=quality)
+            media = "image/jpeg"
+        else:
+            pil.save(buf, format="PNG")
+            media = "image/png"
+        self.broadcast(m.BackgroundImageMessage(
+            media_type=media,
+            base64_data=base64.b64encode(buf.getvalue()).decode("ascii")))
+
+    def send_status_message(self, eval_res: str, step: int) -> None:
+        self.broadcast(m.StatusMessage(eval_res=eval_res, step=step))
+
+    def set_training_state(self, state: str) -> None:
+        self.broadcast(m.TrainingStateMessage(training_state=state))
+
+    def update_scene_box(self, aabb_min, aabb_max) -> None:
+        self.broadcast(m.SceneBoxMessage(min=tuple(aabb_min),
+                                         max=tuple(aabb_max)))
+
+    def use_sam(self, use: bool) -> None:
+        self.broadcast(m.SamMessage(use_sam=use))
+
+    def clear_sam_pins(self) -> None:
+        self.broadcast(m.ClearSamPinsMessage())
+
+    def update_fps(self, fps: float) -> None:
+        self.broadcast(m.FPSMessage(fps=fps))

@@ -1,0 +1,156 @@
+"""ViewerState: websocket server + SAM/text/search state + render machine.
+
+Reference: ``nerfstudio/viewer/server/viewer_state.py:71-481`` — owns the
+server, registers the message handlers (:151-163), tracks the SAM / text /
+search / fixed-fps flags (:120-139), turns camera updates into state-machine
+actions (:283-299), and draws the scene (camera frusta + aabb) on init
+(:397-423).  Train-step throttling (:438-458) is handled by the trainer's
+cooperative ``step_callback``.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from samnerf_tpu.viewer import messages as m
+from samnerf_tpu.viewer.render_state_machine import (RenderAction,
+                                                     RenderStateMachine)
+from samnerf_tpu.viewer.server import ViewerServer
+
+
+class ViewerState:
+    def __init__(self, renderer, params_fn, cameras,
+                 host: str = "0.0.0.0", port: int = 7007,
+                 train_lock: Optional[threading.Lock] = None,
+                 max_res: int = 512,
+                 save_checkpoint_fn=None):
+        """Args:
+            renderer: engine.render_pipeline.SamNerfRenderer.
+            params_fn: () -> current model params (live training weights).
+            cameras: Cameras pytree used for scene display.
+        """
+        self.renderer = renderer
+        self.params_fn = params_fn
+        self.cameras = cameras
+        self.server = ViewerServer(host=host, port=port)
+        self.train_lock = train_lock
+        self.save_checkpoint_fn = save_checkpoint_fn
+
+        # interactive state (viewer_state.py:120-139)
+        self.use_sam = False
+        self.use_text_prompt = False
+        self.use_search_text = False
+        self.use_fixed_fps = False
+        self.text_prompt = ""
+        self.search_text = ""
+        self.threshold = 0.5
+        self.topk = 5
+        self.n_points_sam = 0
+        self.output_render = "rgb"
+        self.max_res = max_res
+        self.step = 0
+        self.training_state = "training"
+        self.camera_moving = False
+
+        self.render_machine = RenderStateMachine(self)
+
+        # handlers (viewer_state.py:151-163 + sam handlers :223-268)
+        s = self.server
+        s.register_handler(m.CameraMessage, self._handle_camera_update)
+        s.register_handler(m.SamMessage, self._sam_update)
+        s.register_handler(m.ClearSamPinsMessage, self._clear_sam_pins)
+        s.register_handler(m.TextPromptMessage, self._send_text_prompt)
+        s.register_handler(m.ThresholdMessage, self._handle_threshold)
+        s.register_handler(m.FPSMessage, self._handle_fps)
+        s.register_handler(m.SearchTextMessage, self._handle_search_text)
+        s.register_handler(m.TrainingStateMessage, self._handle_training_state)
+        s.register_handler(m.SaveCheckpointMessage, self._handle_save_ckpt)
+
+    def start(self):
+        self.server.start()
+        self.render_machine.start()
+
+    # --- model access for the render machine -------------------------------
+    def render_view(self, intrin, c2w, h, w, points=None, text_prompt=None,
+                    topk=5, thresh=0.5) -> Dict[str, np.ndarray]:
+        from samnerf_tpu.engine.render_pipeline import cameras_from_intrin_c2w
+        cam = cameras_from_intrin_c2w(intrin, c2w, h, w)
+        return self.renderer.render_view(
+            self.params_fn(), cam, 0, intrin, c2w,
+            points=points, text_prompt=text_prompt, topk=topk, thresh=thresh,
+            width=w, height=h)
+
+    # --- handlers -----------------------------------------------------------
+    def _handle_camera_update(self, msg: m.CameraMessage):
+        """``viewer_state.py:283-299``."""
+        self.camera_moving = msg.is_moving
+        n_pins = len(msg.xs)
+        if self.use_sam and n_pins != self.n_points_sam:
+            self.n_points_sam = n_pins
+            self.render_machine.action(RenderAction("rerender", msg))
+        elif msg.is_moving:
+            self.render_machine.action(RenderAction("move", msg))
+        else:
+            self.render_machine.action(RenderAction("static", msg))
+
+    def _sam_update(self, msg: m.SamMessage):
+        self.use_sam = msg.use_sam
+        if not msg.use_sam:
+            self.renderer.clear_prompts()
+            self.n_points_sam = 0
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
+
+    def _clear_sam_pins(self, msg: m.ClearSamPinsMessage):
+        self.renderer.clear_prompts()
+        self.n_points_sam = 0
+        self.server.clear_sam_pins()
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
+
+    def _send_text_prompt(self, msg: m.TextPromptMessage):
+        self.text_prompt = msg.text_prompt
+        self.use_text_prompt = bool(msg.text_prompt)
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
+
+    def _handle_threshold(self, msg: m.ThresholdMessage):
+        self.threshold = msg.threshold
+
+    def _handle_fps(self, msg: m.FPSMessage):
+        self.use_fixed_fps = msg.fps > 0
+
+    def _handle_search_text(self, msg: m.SearchTextMessage):
+        self.search_text = msg.text
+        self.use_search_text = bool(msg.text)
+        self.output_render = ("clipseg_feature" if msg.switch_to_heat_map
+                              else "rgb")
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
+
+    def _handle_training_state(self, msg: m.TrainingStateMessage):
+        self.training_state = msg.training_state
+
+    def _handle_save_ckpt(self, msg: m.SaveCheckpointMessage):
+        if self.save_checkpoint_fn is not None:
+            self.save_checkpoint_fn(self.step)
+
+    # --- training-loop integration ------------------------------------------
+    def init_scene(self, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1)):
+        """``viewer_state.py:397-423`` (aabb; camera frusta omitted until the
+        client needs them)."""
+        self.server.update_scene_box(aabb_min, aabb_max)
+        self.server.set_training_state(self.training_state)
+
+    def step_callback(self, step: int, metrics=None):
+        """Called by the trainer each step; issues periodic re-renders
+        (``trainer.py:250, 313-328``)."""
+        self.step = step
+        if step % 30 == 0 and self.render_machine.last_cam_msg is not None:
+            self.render_machine.action(
+                RenderAction("step", self.render_machine.last_cam_msg))
+        while self.training_state == "paused":
+            import time
+            time.sleep(0.05)

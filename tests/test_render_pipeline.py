@@ -1,0 +1,63 @@
+"""Geometry tests for 3D prompt locking (project/backproject/visibility)
+and the interactive pipeline on a tiny trained-ish model."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from samnerf_tpu.engine.render_pipeline import (backproject, draw_pins,
+                                                pooled_heatmap_points,
+                                                project, visible_mask)
+from samnerf_tpu.utils import synthetic
+
+
+def make_cam(pos=(2.0, 0.7, 0.5)):
+    # generic position: the reference's visibility test divides by ray
+    # direction componentwise (sam_model.py:73), so axis-aligned cameras
+    # (zero components) hit 0/0 — a reference quirk we preserve
+    c2w = synthetic.look_at_c2w(np.array(pos), np.zeros(3))
+    intrin = np.array([[100.0, 0, 32.0], [0, 100.0, 24.0], [0, 0, 1.0]])
+    return intrin, c2w
+
+
+def test_project_backproject_roundtrip():
+    intrin, c2w = make_cam()
+    # choose a pixel; place depth so the 3D point is 1.5 units along the ray
+    pts2d = np.array([[20, 30], [40, 10]], np.float64)
+    depth = np.full((48, 64), 1.5 + 1e-2)  # +TOR cancels the offset
+    p3d = backproject(pts2d, depth, intrin, c2w[:3, :4])
+    back = project(intrin, c2w, p3d)
+    # int truncation (reference project() casts with .to(torch.int32)) can
+    # lose one pixel to fp rounding
+    assert np.abs(back - pts2d).max() <= 1
+
+
+def test_backprojected_point_is_visible():
+    intrin, c2w = make_cam()
+    pts2d = np.array([[32, 24]], np.float64)
+    depth = np.full((48, 64), 2.0)
+    p3d = backproject(pts2d, depth, intrin, c2w[:3, :4])
+    vis = visible_mask(pts2d, p3d, depth, intrin, c2w)
+    assert vis.all()  # TOR puts the point slightly in front of the surface
+    # an occluded point (depth closer than the locked point) is invisible
+    vis2 = visible_mask(pts2d, p3d, np.full((48, 64), 1.0), intrin, c2w)
+    assert not vis2.any()
+
+
+def test_pooled_heatmap_points():
+    heat = np.zeros((512, 512), np.float32)
+    heat[100:120, 200:230] = 1.0  # hot region
+    pts = pooled_heatmap_points(heat, (512, 512), topk=1000, threshold=0.7)
+    assert pts is not None and len(pts) >= 1
+    assert (pts[:, 0] >= 190).all() and (pts[:, 0] <= 240).all()
+    assert (pts[:, 1] >= 90).all() and (pts[:, 1] <= 130).all()
+    assert pooled_heatmap_points(np.zeros((512, 512), np.float32),
+                                 (512, 512)) is None
+
+
+def test_draw_pins():
+    img = np.zeros((32, 32, 3), np.float32)
+    out = draw_pins(img, np.array([[5, 6], [31, 0]]), radius=2)
+    assert out[6, 5, 0] == 1.0 and out[6, 5, 1] == 0.0
+    assert out[0, 31, 0] == 1.0  # clipped at border without error
+    assert img.sum() == 0  # input untouched
