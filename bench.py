@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from samnerf_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     from samnerf_tpu.core.cameras import Cameras
     from samnerf_tpu.engine.eval_render import ImageRenderer
     from samnerf_tpu.models.sam_model import SAMModel, SAMModelConfig
@@ -42,8 +44,9 @@ def main():
                    directions=jnp.asarray(d.astype(np.float32)),
                    pixel_area=jnp.ones((64, 1)) * 1e-6,
                    camera_indices=jnp.zeros((64, 1), jnp.int32))
-    params = model.init(jax.random.PRNGKey(0), rb, rng=jax.random.PRNGKey(1),
-                        train=True, get_features=("sam", "clipseg"))
+    params = jax.jit(lambda r, b: model.init(
+        r, b, rng=r, train=True, get_features=("sam", "clipseg")))(
+            jax.random.PRNGKey(0), rb)
 
     # chunk 2^13 (vs the reference's 2^15, samconfigs.py:79): bounds the
     # XLA hash-gather working set; the whole frame is one jitted lax.map.

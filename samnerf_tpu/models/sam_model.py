@@ -80,6 +80,12 @@ class SAMModelConfig:
     num_images: int = 1
     compute_dtype: Any = jnp.float32
     eval_num_rays_per_chunk: int = 1 << 15
+    use_remat: bool = True
+    """Explicit jax.checkpoint around each field evaluation: activations
+    (hash-gather outputs over ~1M samples/step) are recomputed in the
+    backward pass instead of stored.  Replaces the reference's AMP memory
+    savings (trainer.py:419-423) and keeps XLA's scheduler out of
+    pathological auto-remat searches."""
 
     @property
     def num_proposal_iterations(self) -> int:
@@ -93,7 +99,13 @@ class SAMModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.fields = NerfactoField(
+        field_cls = (nn.remat(NerfactoField, static_argnums=(4,))
+                     if cfg.use_remat else NerfactoField)
+        prop_cls = (nn.remat(HashMLPDensityField) if cfg.use_remat
+                    else HashMLPDensityField)
+        sam_cls = (nn.remat(SAMField, static_argnums=(2,))
+                   if cfg.use_remat else SAMField)
+        self.fields = field_cls(
             num_images=cfg.num_images, hidden_dim=cfg.hidden_dim,
             hidden_dim_color=cfg.hidden_dim_color, num_levels=cfg.num_levels,
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
@@ -102,12 +114,12 @@ class SAMModel(nn.Module):
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
-            props.append(HashMLPDensityField(
+            props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype,
                 name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
         if cfg.distill_sam:
-            self.sam_field = SAMField(
+            self.sam_field = sam_cls(
                 grid_layers=cfg.hashgrid_layers, grid_sizes=cfg.hashgrid_sizes,
                 grid_resolutions=cfg.hashgrid_resolutions,
                 hidden_layers=cfg.hidden_layers,
@@ -139,8 +151,9 @@ class SAMModel(nn.Module):
             stratified=train, single_jitter=cfg.use_single_jitter,
             anneal=anneal, proposal_grad=proposal_grad)
 
+        # positional call: train / get_features are remat static_argnums
         field_out = self.fields(ray_samples.positions(), ray_samples.directions,
-                                ray_samples.camera_indices, train=train)
+                                ray_samples.camera_indices, train)
         weights = ray_samples.get_weights(field_out["density"])
         weights_list = list(weights_list) + [weights]
         ray_samples_list = list(ray_samples_list) + [ray_samples]
@@ -168,7 +181,7 @@ class SAMModel(nn.Module):
                 cfg.sharpening_temperature)
             sam_samples = ray_samples.take_topk(best_ids)
             feats = self.sam_field(sam_samples.positions(),
-                                   get_features=get_features)
+                                   tuple(get_features))
             if "sam" in feats:
                 sam_render = render_ops.render_mean(feats["sam"], sam_weights)
                 if cfg.patch_size > 1:

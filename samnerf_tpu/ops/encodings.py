@@ -10,9 +10,16 @@ TPU notes:
 - All corner hashing is done in uint32.  Since the table size divides 2^32,
   uint32 wraparound multiplication gives bit-identical low bits to the
   reference's int64 arithmetic, so ``mod 2^S`` results agree exactly.
-- The 8 corner gathers are expressed as one flat ``take`` over a
-  ``[L * 2^S, F]`` table so XLA emits a single fused gather (and a single
-  scatter-add in the backward pass).
+- **Layout is N-last everywhere.**  TPU tiles the trailing two dims to
+  (8, 128); keeping the (small) level/corner dims leading and the (large)
+  point dim in the lane position avoids the 10-60x padding blowups that
+  [N, L] / [N, L, F] layouts cost (seen directly in XLA OOM dumps).  The
+  table is therefore stored feature-major ``[F, L * 2^S]`` and gathered
+  along axis 1, producing ``[F, L, N]`` corner features; only the final
+  ``[C, N] -> [N, C]`` transpose touches an N-leading layout, with
+  C = L*F wide enough to pad modestly.
+- Output channel order is **feature-major** (c = f * L + l), consistent
+  across save/load within this framework.
 - Trilinear weights/accumulation run in fp32; the table itself may be bf16.
 """
 from __future__ import annotations
@@ -36,8 +43,11 @@ def hash_grid_scalings(num_levels: int, min_res: int, max_res: int) -> np.ndarra
 def init_hash_table(key: jax.Array, num_levels: int, table_size: int,
                     features_per_level: int, scale: float = 1e-4,
                     dtype=jnp.float32) -> jax.Array:
-    """U(-1, 1) * scale init (``encodings.py:256-258``, tcnn uses 1e-4)."""
-    shape = (num_levels * table_size, features_per_level)
+    """U(-1, 1) * scale init (``encodings.py:256-258``, tcnn uses 1e-4).
+
+    Shape [F, L * 2^S] (feature-major, see module docstring).
+    """
+    shape = (features_per_level, num_levels * table_size)
     return (jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0) * scale).astype(dtype)
 
 
@@ -46,48 +56,52 @@ def hash_encode(table: jax.Array, positions: jax.Array, scalings: jax.Array,
     """Multi-resolution hash encoding.
 
     Args:
-        table: [L * 2^S, F] feature table.
+        table: [F, L * 2^S] feature-major table.
         positions: [N, 3] in [0, 1].
         scalings: [L] per-level resolutions (static numpy or jnp array).
         log2_table_size: S.
 
     Returns:
-        [N, L * F] encoded features (fp32).
+        [N, F * L] encoded features (fp32, feature-major channels).
     """
     num_levels = scalings.shape[0]
     table_size = 1 << log2_table_size
     mask = jnp.uint32(table_size - 1)
+    n = positions.shape[0]
 
-    scaled = positions[:, None, :].astype(jnp.float32) * scalings[None, :, None].astype(jnp.float32)
+    # [3, L, N]: axis leading, point dim in lanes
+    pos_t = positions.T.astype(jnp.float32)  # [3, N]
+    scaled = pos_t[:, None, :] * scalings.astype(jnp.float32)[None, :, None]
     floor = jnp.floor(scaled)
-    offset = scaled - floor  # [N, L, 3] in [0,1)
+    offset = scaled - floor  # [3, L, N] in [0, 1)
 
-    base = floor.astype(jnp.int32).astype(jnp.uint32)  # [N, L, 3]
-    # Pre-multiply each axis by its prime once; corner = base or base+prime.
-    p = jnp.array(_PRIMES, dtype=jnp.uint32)
-    h0 = base * p  # [N, L, 3] per-axis hash contribution at floor
-    h1 = (base + jnp.uint32(1)) * p  # at floor+1 (== reference's ceil corner)
+    base = floor.astype(jnp.int32).astype(jnp.uint32)
+    p = jnp.array(_PRIMES, dtype=jnp.uint32)[:, None, None]
+    h0 = base * p          # per-axis hash at floor
+    h1 = (base + jnp.uint32(1)) * p  # at floor+1 (reference's ceil corner)
 
-    level_offset = (jnp.arange(num_levels, dtype=jnp.uint32) * jnp.uint32(table_size))[None, :]
+    level_offset = (jnp.arange(num_levels, dtype=jnp.uint32)
+                    * jnp.uint32(table_size))[None, :, None]  # [1, L, 1]
 
     out = None
-    # Unrolled 8-corner loop: static, lets XLA batch the gathers.
     for cz in (0, 1):
-        hz = (h1 if cz else h0)[..., 2]
+        hz = (h1 if cz else h0)[2]
+        wz = offset[2] if cz else (1.0 - offset[2])
         for cy in (0, 1):
-            hy = (h1 if cy else h0)[..., 1]
+            hy = (h1 if cy else h0)[1]
             hzy = hz ^ hy
+            wzy = wz * (offset[1] if cy else (1.0 - offset[1]))
             for cx in (0, 1):
-                hx = (h1 if cx else h0)[..., 0]
-                idx = ((hx ^ hzy) & mask) + level_offset  # [N, L]
-                feats = jnp.take(table, idx.astype(jnp.int32), axis=0)  # [N, L, F]
-                wx = offset[..., 0:1] if cx else (1.0 - offset[..., 0:1])
-                wy = offset[..., 1:2] if cy else (1.0 - offset[..., 1:2])
-                wz = offset[..., 2:3] if cz else (1.0 - offset[..., 2:3])
-                w = (wx * wy * wz)
-                contrib = feats.astype(jnp.float32) * w
+                hx = (h1 if cx else h0)[0]
+                idx = ((hx ^ hzy) & mask)[None] + level_offset  # [1, L, N]
+                feats = jnp.take(table, idx[0].astype(jnp.int32),
+                                 axis=1)  # [F, L, N]
+                w = wzy * (offset[0] if cx else (1.0 - offset[0]))  # [L, N]
+                contrib = feats.astype(jnp.float32) * w[None]
                 out = contrib if out is None else out + contrib
-    return out.reshape(positions.shape[0], -1)  # [N, L*F]
+    # [F, L, N] -> [F*L, N] -> [N, F*L]; the only N-leading tensor, with a
+    # lane dim wide enough (F*L) to pad modestly.
+    return out.reshape(-1, n).T
 
 
 # --- Spherical harmonics (degree 4 = 16 components) --------------------------

@@ -147,6 +147,33 @@ class SamPredictor:
         return (np.asarray(masks[0]), np.asarray(iou_pred[0]),
                 np.asarray(low_res_masks[0]))
 
+    def predict_batched(self, point_coords: np.ndarray,
+                        point_labels: np.ndarray,
+                        multimask_output: bool = True,
+                        return_logits: bool = False):
+        """B independent prompt sets at once (reference ``predict_torch``,
+        ``predictor.py:206-281``): coords [B, N, 2] already in the input
+        frame, labels [B, N].  Returns (masks [B, C, H, W], iou [B, C],
+        low_res [B, C, 256, 256]) as numpy."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set before mask prediction.")
+        key = ("batched", point_coords.shape[1:], multimask_output)
+        if key not in self._decode:
+            def fn(params, features, coords, labels):
+                return self.model.apply(
+                    params, features, (coords, labels), None, None,
+                    multimask_output, method=Sam.decode_masks)
+            self._decode[key] = jax.jit(fn)
+        low_res, iou = self._decode[key](
+            self.params, self.features,
+            jnp.asarray(point_coords, jnp.float32),
+            jnp.asarray(point_labels, jnp.int32))
+        masks = postprocess_masks(low_res, self.input_size, self.original_size,
+                                  self.model.image_encoder.img_size)
+        if not return_logits:
+            masks = masks > self.model.mask_threshold
+        return np.asarray(masks), np.asarray(iou), np.asarray(low_res)
+
     def get_image_embedding(self) -> jax.Array:
         if not self.is_image_set:
             raise RuntimeError("image not set")

@@ -29,6 +29,9 @@ def train_loop(config: MethodConfig, num_devices=None):
     """``samnerf/train.py:79-90`` equivalent: seed + build + train."""
     from samnerf_tpu.data.datamanager import DataManager
     from samnerf_tpu.engine.trainer import Trainer
+    from samnerf_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
 
     seed = config.trainer.seed
     random.seed(seed)

@@ -101,16 +101,18 @@ def test_hash_encode_matches_int64_reference():
     scalings = hash_grid_scalings(L, 16, 128)
     table = rng.randn(L * (1 << S), F).astype(np.float32) * 0.01
     pos = rng.rand(64, 3).astype(np.float32)
-    ours = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(pos),
+    # ours is feature-major [F, L*T] / output channels c = f*L + l
+    ours = np.asarray(hash_encode(jnp.asarray(table.T), jnp.asarray(pos),
                                   jnp.asarray(scalings), S))
     ref = _numpy_hash_encode(table, pos.astype(np.float64), scalings, S)
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-6)
+    ref_fmajor = ref.reshape(-1, L, F).transpose(0, 2, 1).reshape(-1, F * L)
+    np.testing.assert_allclose(ours, ref_fmajor, rtol=2e-4, atol=2e-6)
 
 
 def test_hash_encode_grad_flows():
     L, S, F = 2, 8, 2
     scalings = jnp.asarray(hash_grid_scalings(L, 16, 32))
-    table = jnp.ones((L * (1 << S), F)) * 0.01
+    table = jnp.ones((F, L * (1 << S))) * 0.01
     pos = jax.random.uniform(jax.random.PRNGKey(0), (16, 3))
     g = jax.grad(lambda t: jnp.sum(hash_encode(t, pos, scalings, S) ** 2))(table)
     assert np.isfinite(np.asarray(g)).all()
