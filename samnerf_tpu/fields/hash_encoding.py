@@ -31,10 +31,11 @@ class HashEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
-        """positions [N, 3] in [0,1] -> [N, L*F]."""
-        scalings = jnp.asarray(
-            hash_grid_scalings(self.num_levels, self.min_res, self.max_res),
-            dtype=jnp.float32)
+        """positions [N, 3] in [0,1] -> [N, F*L] (feature-major channels)."""
+        # static tuple: hash_encode's custom-vjp nondiff arg must be hashable
+        scalings = tuple(
+            hash_grid_scalings(self.num_levels, self.min_res, self.max_res)
+            .tolist())
         table = self.param(
             "table",
             lambda key: init_hash_table(

@@ -24,6 +24,8 @@ TPU notes:
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -51,25 +53,14 @@ def init_hash_table(key: jax.Array, num_levels: int, table_size: int,
     return (jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0) * scale).astype(dtype)
 
 
-def hash_encode(table: jax.Array, positions: jax.Array, scalings: jax.Array,
-                log2_table_size: int) -> jax.Array:
-    """Multi-resolution hash encoding.
-
-    Args:
-        table: [F, L * 2^S] feature-major table.
-        positions: [N, 3] in [0, 1].
-        scalings: [L] per-level resolutions (static numpy or jnp array).
-        log2_table_size: S.
-
-    Returns:
-        [N, F * L] encoded features (fp32, feature-major channels).
-    """
+def _corner_indices_weights(positions: jax.Array, scalings: jax.Array,
+                            log2_table_size: int):
+    """Shared index math: -> (idx [8, L, N] int32 incl. level offsets,
+    weights [8, L, N] fp32)."""
     num_levels = scalings.shape[0]
     table_size = 1 << log2_table_size
     mask = jnp.uint32(table_size - 1)
-    n = positions.shape[0]
 
-    # [3, L, N]: axis leading, point dim in lanes
     pos_t = positions.T.astype(jnp.float32)  # [3, N]
     scaled = pos_t[:, None, :] * scalings.astype(jnp.float32)[None, :, None]
     floor = jnp.floor(scaled)
@@ -77,13 +68,13 @@ def hash_encode(table: jax.Array, positions: jax.Array, scalings: jax.Array,
 
     base = floor.astype(jnp.int32).astype(jnp.uint32)
     p = jnp.array(_PRIMES, dtype=jnp.uint32)[:, None, None]
-    h0 = base * p          # per-axis hash at floor
-    h1 = (base + jnp.uint32(1)) * p  # at floor+1 (reference's ceil corner)
+    h0 = base * p
+    h1 = (base + jnp.uint32(1)) * p  # floor+1 == reference's ceil corner
 
     level_offset = (jnp.arange(num_levels, dtype=jnp.uint32)
-                    * jnp.uint32(table_size))[None, :, None]  # [1, L, 1]
+                    * jnp.uint32(table_size))[None, :, None]
 
-    out = None
+    idxs, ws = [], []
     for cz in (0, 1):
         hz = (h1 if cz else h0)[2]
         wz = offset[2] if cz else (1.0 - offset[2])
@@ -93,15 +84,93 @@ def hash_encode(table: jax.Array, positions: jax.Array, scalings: jax.Array,
             wzy = wz * (offset[1] if cy else (1.0 - offset[1]))
             for cx in (0, 1):
                 hx = (h1 if cx else h0)[0]
-                idx = ((hx ^ hzy) & mask)[None] + level_offset  # [1, L, N]
-                feats = jnp.take(table, idx[0].astype(jnp.int32),
-                                 axis=1)  # [F, L, N]
-                w = wzy * (offset[0] if cx else (1.0 - offset[0]))  # [L, N]
-                contrib = feats.astype(jnp.float32) * w[None]
-                out = contrib if out is None else out + contrib
-    # [F, L, N] -> [F*L, N] -> [N, F*L]; the only N-leading tensor, with a
-    # lane dim wide enough (F*L) to pad modestly.
-    return out.reshape(-1, n).T
+                idxs.append((((hx ^ hzy) & mask) + level_offset[0])
+                            .astype(jnp.int32))
+                ws.append(wzy * (offset[0] if cx else (1.0 - offset[0])))
+    return jnp.stack(idxs), jnp.stack(ws)  # [8, L, N] each
+
+
+def _hash_encode_fwd_impl(table, idx, w):
+    """idx/w [8, L, N] -> [N, F*L]."""
+    n = idx.shape[-1]
+    out = None
+    for c in range(8):
+        feats = jnp.take(table, idx[c], axis=1)  # [F, L, N]
+        contrib = feats.astype(jnp.float32) * w[c][None]
+        out = contrib if out is None else out + contrib
+    return out.reshape(-1, n).T  # [N, F*L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hash_encode(table: jax.Array, positions: jax.Array, scalings,
+                log2_table_size: int) -> jax.Array:
+    """Multi-resolution hash encoding.
+
+    Args:
+        table: [F, L * 2^S] feature-major table.
+        positions: [N, 3] in [0, 1].
+        scalings: [L] per-level resolutions (static tuple/numpy array).
+        log2_table_size: S.
+
+    Returns:
+        [N, F * L] encoded features (fp32, feature-major channels).
+
+    The backward pass is **scatter-free** (see ``_hash_encode_bwd``): XLA's
+    TPU scatter-add serializes tens of millions of duplicate-index updates
+    (measured ~16 s/step at the reference batch size) and explodes compile
+    time.  Instead the cotangents are sorted by table slot, prefix-summed,
+    and the per-slot sums are read back with gathers — everything stays in
+    TPU's fast dense/gather path.
+
+    Position gradients are not propagated (returned as zeros): the
+    reference never trains through sample positions either (rays come from
+    fixed cameras; the SAM field detaches positions, ``sam_field.py:116``).
+    """
+    idx, w = _corner_indices_weights(positions, jnp.asarray(scalings),
+                                     log2_table_size)
+    return _hash_encode_fwd_impl(table, idx, w)
+
+
+def _hash_encode_fwd(table, positions, scalings, log2_table_size):
+    idx, w = _corner_indices_weights(positions, jnp.asarray(scalings),
+                                     log2_table_size)
+    out = _hash_encode_fwd_impl(table, idx, w)
+    # residuals must be jax types: keep the (alias of the) table for
+    # shape/dtype; positions to recompute the cheap index math in bwd
+    return out, (table, positions)
+
+
+def _hash_encode_bwd(scalings, log2_table_size, res, g):
+    table, positions = res
+    table_shape, table_dtype = table.shape, table.dtype
+    idx, w = _corner_indices_weights(positions, jnp.asarray(scalings),
+                                     log2_table_size)
+    f_dim, num_slots = table_shape
+    num_levels = idx.shape[1]
+    n = idx.shape[-1]
+
+    # cotangent g: [N, F*L] -> [F, L, N]
+    g_t = g.T.reshape(f_dim, num_levels, n).astype(jnp.float32)
+    # per-corner updates u_c = g * w_c, flattened to [F, M], M = 8*L*N
+    flat_idx = idx.reshape(-1)  # [M]
+    flat_u = (g_t[None] * w[:, None]).transpose(1, 0, 2, 3).reshape(f_dim, -1)
+
+    # sort-by-slot + prefix sum + boundary gathers (no scatter anywhere)
+    order = jnp.argsort(flat_idx)
+    s_idx = flat_idx[order]
+    s_u = jnp.take(flat_u, order, axis=1)  # [F, M]
+    cs = jnp.cumsum(s_u, axis=1)
+    cs = jnp.concatenate([jnp.zeros((f_dim, 1), cs.dtype), cs], axis=1)
+    # slot boundaries: searchsorted over the full slot range
+    starts = jnp.searchsorted(s_idx, jnp.arange(num_slots, dtype=jnp.int32),
+                              side="left")
+    ends = jnp.concatenate([starts[1:], jnp.asarray([s_idx.shape[0]])])
+    grad_table = (jnp.take(cs, ends, axis=1) -
+                  jnp.take(cs, starts, axis=1)).astype(table_dtype)
+    return grad_table, jnp.zeros_like(positions)
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 # --- Spherical harmonics (degree 4 = 16 components) --------------------------

@@ -123,13 +123,20 @@ def window_unpartition(windows: jax.Array, window_size: int, pad_hw, hw):
 
 
 class Attention(nn.Module):
-    """MHA with optional decomposed rel-pos (``image_encoder.py:185-240``)."""
+    """MHA with optional decomposed rel-pos (``image_encoder.py:185-240``).
+
+    Token counts >= ``flash_min_tokens`` (the 64x64 global layers) route
+    through the Pallas flash kernel (``ops/attention_pallas.py``), which
+    never materializes the [N, N] logits; 14x14 windows use plain XLA.
+    """
     dim: int
     num_heads: int = 8
     qkv_bias: bool = True
     use_rel_pos: bool = False
     input_size: Optional[Tuple[int, int]] = None
     compute_dtype: Any = jnp.float32
+    use_flash: bool = True
+    flash_min_tokens: int = 1024
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -143,7 +150,7 @@ class Attention(nn.Module):
                                                    H * W, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = (q * scale) @ k.swapaxes(-2, -1)
+        rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros,
@@ -151,10 +158,29 @@ class Attention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim))
-            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
-                                          (H, W), (H, W))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        x = (attn @ v).reshape(B, self.num_heads, H, W, head_dim)
+
+        n = H * W
+        flash_ok = (self.use_flash and self.use_rel_pos
+                    and n >= self.flash_min_tokens
+                    and jax.default_backend() == "tpu"
+                    and n % 512 == 0 and 512 % W == 0)
+        if flash_ok:
+            from samnerf_tpu.ops.attention_pallas import flash_attention_relpos
+            Rh = get_rel_pos(H, H, rel_pos_h).astype(q.dtype)  # [H, H, d]
+            Rw = get_rel_pos(W, W, rel_pos_w).astype(q.dtype)
+            r_q = q.reshape(-1, H, W, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh).reshape(-1, n, H)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw).reshape(-1, n, W)
+            out = flash_attention_relpos(q, k, v, rel_h, rel_w, scale)
+            x = out.reshape(B, self.num_heads, H, W, head_dim)
+        else:
+            attn = (q * scale) @ k.swapaxes(-2, -1)
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                              (H, W), (H, W))
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(q.dtype)
+            x = (attn @ v).reshape(B, self.num_heads, H, W, head_dim)
         x = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=self.compute_dtype, name="proj")(x)
 
@@ -169,6 +195,7 @@ class Block(nn.Module):
     window_size: int = 0
     input_size: Optional[Tuple[int, int]] = None
     compute_dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -182,7 +209,8 @@ class Block(nn.Module):
             use_rel_pos=self.use_rel_pos,
             input_size=(self.input_size if self.window_size == 0 else
                         (self.window_size, self.window_size)),
-            compute_dtype=self.compute_dtype, name="attn")(x)
+            compute_dtype=self.compute_dtype, use_flash=self.use_flash,
+            name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
@@ -208,6 +236,7 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = ()
     compute_dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -228,7 +257,8 @@ class ImageEncoderViT(nn.Module):
                 window_size=(self.window_size
                              if i not in self.global_attn_indexes else 0),
                 input_size=(grid, grid),
-                compute_dtype=self.compute_dtype, name=f"blocks_{i}")(x)
+                compute_dtype=self.compute_dtype, use_flash=self.use_flash,
+                name=f"blocks_{i}")(x)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False,
                     dtype=self.compute_dtype, name="neck_conv1")(x)
         x = LayerNorm2d(self.out_chans, name="neck_ln1")(x)

@@ -103,7 +103,7 @@ def test_hash_encode_matches_int64_reference():
     pos = rng.rand(64, 3).astype(np.float32)
     # ours is feature-major [F, L*T] / output channels c = f*L + l
     ours = np.asarray(hash_encode(jnp.asarray(table.T), jnp.asarray(pos),
-                                  jnp.asarray(scalings), S))
+                                  tuple(scalings.tolist()), S))
     ref = _numpy_hash_encode(table, pos.astype(np.float64), scalings, S)
     ref_fmajor = ref.reshape(-1, L, F).transpose(0, 2, 1).reshape(-1, F * L)
     np.testing.assert_allclose(ours, ref_fmajor, rtol=2e-4, atol=2e-6)
@@ -111,12 +111,34 @@ def test_hash_encode_matches_int64_reference():
 
 def test_hash_encode_grad_flows():
     L, S, F = 2, 8, 2
-    scalings = jnp.asarray(hash_grid_scalings(L, 16, 32))
+    scalings = tuple(hash_grid_scalings(L, 16, 32).tolist())
     table = jnp.ones((F, L * (1 << S))) * 0.01
     pos = jax.random.uniform(jax.random.PRNGKey(0), (16, 3))
     g = jax.grad(lambda t: jnp.sum(hash_encode(t, pos, scalings, S) ** 2))(table)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_hash_encode_custom_vjp_matches_autodiff():
+    """The scatter-free backward must equal plain autodiff of the forward."""
+    from samnerf_tpu.ops.encodings import (_corner_indices_weights,
+                                           _hash_encode_fwd_impl)
+    L, S, F = 3, 8, 2
+    scalings = tuple(hash_grid_scalings(L, 16, 64).tolist())
+    key = jax.random.PRNGKey(1)
+    table = jax.random.normal(key, (F, L * (1 << S))) * 0.1
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (257, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(3), (257, F * L))
+
+    # autodiff through the raw forward impl (uses XLA scatter)
+    idx, w = _corner_indices_weights(pos, jnp.asarray(scalings), S)
+    g_auto = jax.grad(
+        lambda t: jnp.sum(_hash_encode_fwd_impl(t, idx, w) * cot))(table)
+    # custom vjp
+    g_custom = jax.grad(
+        lambda t: jnp.sum(hash_encode(t, pos, scalings, S) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-5)
 
 
 # --- SH encoding ---------------------------------------------------------------
