@@ -95,11 +95,13 @@ class ImageRenderer:
                 np.stack([hh, ww], -1).reshape(1, 1024, 2).astype(np.float32))
 
         def frame(params, cameras, cam_idx):
-            idx_template = jnp.full((chunk,), 0, jnp.int32)
-
             def run(coords, get_features):
                 def body(c):
-                    rb = generate_rays(cameras, idx_template + cam_idx, c)
+                    # idx vector sized to this grid's chunk width (the
+                    # clipseg grid is one 1024-ray chunk, not `chunk`)
+                    rb = generate_rays(
+                        cameras,
+                        jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c)
                     return self.model.apply(params, rb, train=False,
                                             get_features=get_features)
                 return jax.lax.map(body, coords)
