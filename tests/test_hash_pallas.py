@@ -1,0 +1,131 @@
+"""Parity-partitioned hash encoding: kernel vs jnp reference, vjp, and
+field-continuity properties."""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from samnerf_tpu.ops import hash_pallas as hp
+from samnerf_tpu.ops.encodings import hash_grid_scalings
+
+
+def _interp(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+
+def _setup(L=4, steps=4, P=1, N=256, seed=0, min_res=4, max_res=64):
+    scalings = tuple(hash_grid_scalings(L, min_res, max_res).tolist())
+    key = jax.random.PRNGKey(seed)
+    table = hp.init_parity_table(key, L, steps, P, scale=0.5)
+    pos = jax.random.uniform(jax.random.PRNGKey(seed + 1), (N, 3),
+                             minval=0.001, maxval=0.999)
+    return scalings, table, pos
+
+
+def test_kernel_matches_reference(monkeypatch):
+    _interp(monkeypatch)
+    scalings, table, pos = _setup()
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 4)
+    out = hp._fwd_call(
+        hp.pack_table(table),
+        jnp.zeros((8, pos.shape[0])).at[:3].set(pos.T),
+        plan=hp._level_plan(scalings, 4), num_steps=4, num_packed=1,
+        num_levels=4, tile=128).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_matches_reference_packed2(monkeypatch):
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(P=2)
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 4)
+    out = hp._fwd_call(
+        hp.pack_table(table),
+        jnp.zeros((8, pos.shape[0])).at[:3].set(pos.T),
+        plan=hp._level_plan(scalings, 4), num_steps=4, num_packed=2,
+        num_levels=4, tile=128).T
+    assert out.shape == (256, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bwd_kernel_matches_ref_vjp(monkeypatch):
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=3, steps=2, N=384)
+    plan = hp._level_plan(scalings, 2)
+    g = jax.random.normal(jax.random.PRNGKey(9), (384, 6))
+    _, vjp = jax.vjp(
+        lambda t: hp.parity_hash_encode_ref(t, pos, scalings, 2), table)
+    ref_grad = vjp(g)[0]
+    gtab = hp._bwd_call(
+        jnp.zeros((8, 384)).at[:3].set(pos.T), g.T, plan=plan, num_steps=2,
+        num_packed=1, num_levels=3, tile=128)
+    out = np.moveaxis(np.asarray(gtab), 0, -1)    # [gl, 8, steps, 128, 2]
+    out = out.swapaxes(1, 2).reshape(3, 2 * 8, 128, 2)
+    # the ref vjp rounds cotangents through its bf16 cast; the kernel keeps
+    # them fp32, so agreement is only to bf16 resolution
+    np.testing.assert_allclose(out, np.asarray(ref_grad),
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_public_op_cpu_path_and_grads():
+    """On CPU the public op routes to the reference and its vjp."""
+    scalings, table, pos = _setup(L=2, steps=2, N=128)
+    out = hp.parity_hash_encode(table, pos, scalings, 2)
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+    g = jax.grad(lambda t: jnp.sum(
+        hp.parity_hash_encode(t, pos, scalings, 2) ** 2))(table)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_field_is_continuous_across_cells():
+    """Interpolated features must be continuous at cell boundaries (the
+    parity partition must not break lattice-point identity)."""
+    L, steps = 2, 2
+    scalings = (8.0, 16.0)
+    table = hp.init_parity_table(jax.random.PRNGKey(0), L, steps, scale=0.5)
+    eps = 1e-5
+    # points straddling x = 3/8 boundary of the coarse level
+    x0 = jnp.asarray([[3.0 / 8 - eps, 0.33, 0.77]])
+    x1 = jnp.asarray([[3.0 / 8 + eps, 0.33, 0.77]])
+    f0 = hp.parity_hash_encode_ref(table, x0, scalings, steps)
+    f1 = hp.parity_hash_encode_ref(table, x1, scalings, steps)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-3)
+
+
+def test_dense_levels_have_no_collisions():
+    """Dense level: distinct lattice points map to distinct table slots."""
+    steps = 4
+    res = 8   # half grid 6 -> 216 <= 512 entries/class: dense
+    assert hp.level_is_dense(res, steps)
+    pts = []
+    for x in range(res + 1):
+        for y in range(res + 1):
+            for z in range(res + 1):
+                pts.append((x, y, z))
+    pts = np.array(pts, np.int64)
+    half = res // 2 + 2
+    cls = (pts[:, 0] & 1) | ((pts[:, 1] & 1) << 1) | ((pts[:, 2] & 1) << 2)
+    idx = (pts[:, 0] >> 1) + half * ((pts[:, 1] >> 1) + half * (pts[:, 2] >> 1))
+    key = cls * (steps * 128) + idx
+    assert len(np.unique(key)) == len(pts)
+    assert idx.max() < steps * 128
+
+
+def test_weights_sum_to_one():
+    """The 8 parity-assigned corner weights partition unity."""
+    scalings = (16.0,)
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (64, 3))
+    s_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+    lo, hi, w = hp._corner_index_math(
+        pos[:, 0][None], pos[:, 1][None], pos[:, 2][None], 16.0, True, 10, 4,
+        s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=0)),
+                               np.ones(64), rtol=1e-5)
