@@ -1,14 +1,18 @@
-"""Benchmark: 512x512 feature-rendered frame rate on one TPU chip.
+"""Benchmark: end-to-end interactive SAM-NeRF frame rate on one TPU chip.
 
-Headline metric (BASELINE.json): FPS of rendering a 512^2 view *with* the
-SAM feature grid (64x64x256) and ClipSeg grid (32x32x192) from a distilled
-field — the step that replaces the reference's per-view SAM ViT-H encoder
-(README.md:16).  vs_baseline is against the 30 FPS v5e-8 target.
+Measures the full serving path that replaces the reference's view-time
+pipeline (``samnerf/sam_model.py:337-548``): render a 512^2 view (rgb +
+depth + 64x64x256 SAM feature grid + 32x32x192 ClipSeg grid) from a
+distilled field, decode a SAM mask from a click prompt with the rendered
+embedding (``predictor.set_feature`` path), composite the masked overlay
+— everything on device; only the final uint8 frame crosses to the host.
+
+vs_baseline is against the 30 FPS v5e-8 target (BASELINE.json), i.e.
+3.75 FPS/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
-import sys
 import time
 
 import numpy as np
@@ -24,6 +28,8 @@ def main():
     from samnerf_tpu.engine.eval_render import ImageRenderer
     from samnerf_tpu.models.sam_model import SAMModel, SAMModelConfig
     from samnerf_tpu.core.rays import RayBundle
+    from samnerf_tpu.perception.sam.build_sam import sam_model_registry
+    from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
 
     H = W = 512
     cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True)
@@ -48,26 +54,59 @@ def main():
         r, b, rng=r, train=True, get_features=("sam", "clipseg")))(
             jax.random.PRNGKey(0), rb)
 
-    # chunk 2^13 (vs the reference's 2^15, samconfigs.py:79): bounds the
-    # XLA hash-gather working set; the whole frame is one jitted lax.map.
+    # decoder-only SAM (prompt encoder + mask decoder; the whole point of
+    # distillation is that the ViT image encoder never runs at view time)
+    sam, _ = sam_model_registry["vit_b"]()
+    feat0 = jnp.zeros((1, 64, 64, 256))
+    pts0 = (jnp.zeros((1, 4, 2)), -jnp.ones((1, 4), jnp.int32))
+    dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
+                          False, method=Sam.decode_masks)
+
     renderer = ImageRenderer(model, chunk=1 << 13)
     feats = ("sam", "clipseg")
-    # warmup/compile
-    out = renderer.render_image(params, cameras, 0, features=feats)
-    assert out["rgb"].shape == (H, W, 3) and out["sam"].shape == (64, 64, 256)
 
-    n = 5
+    @jax.jit
+    def decode_and_compose(dec_params, frame, coords, labels):
+        low_res, _ = sam.apply(dec_params, frame["sam"][None],
+                               (coords, labels), None, None, False,
+                               method=Sam.decode_masks)
+        masks = postprocess_masks(low_res, (1024, 1024), (H, W),
+                                  sam.image_encoder.img_size)
+        mask = masks[0, 0] > 0.0
+        rgb = frame["rgb"]
+        overlay = jnp.where(mask[..., None],
+                            0.5 * rgb + 0.5 * jnp.asarray([1.0, 0.0, 0.0]),
+                            rgb)
+        return (jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    def serve_frame(click_xy):
+        frame = renderer.render_image_device(params, cameras, 0, W, H,
+                                             features=feats)
+        # click -> 1024-frame coords (ResizeLongestSide, square 512^2 view)
+        scale = 1024.0 / max(H, W)
+        coords = jnp.asarray(
+            [[[click_xy[0] * scale, click_xy[1] * scale],
+              [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]], jnp.float32)
+        labels = jnp.asarray([[1, -1, -1, -1]], jnp.int32)
+        return decode_and_compose(dec_params, frame, coords, labels)
+
+    clicks = [(200.0, 256.0), (300.0, 256.0)]
+    out = np.asarray(serve_frame(clicks[0]))   # compile
+    assert out.shape == (H, W, 3) and out.dtype == np.uint8
+    np.asarray(serve_frame(clicks[1]))
+
+    n = 8
     t0 = time.time()
-    for _ in range(n):
-        out = renderer.render_image(params, cameras, 0, features=feats)
+    for i in range(n):
+        out = np.asarray(serve_frame(clicks[i % 2]))
     dt = (time.time() - t0) / n
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "feature_render_512_fps",
+        "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
-        "unit": "frames/s (512^2 rgb+depth + 64^2 SAM + 32^2 ClipSeg grids, 1 chip)",
-        "vs_baseline": round(fps / 30.0, 4),
+        "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip)",
+        "vs_baseline": round(fps / 3.75, 4),
     }))
 
 

@@ -1,4 +1,4 @@
-"""Flax wrapper around the hash-grid encoding op."""
+"""Flax wrappers around the hash-grid encoding ops."""
 from __future__ import annotations
 
 from typing import Any
@@ -9,6 +9,8 @@ import numpy as np
 from flax import linen as nn
 
 from samnerf_tpu.ops.encodings import hash_encode, hash_grid_scalings, init_hash_table
+from samnerf_tpu.ops.hash_pallas import (LANES, PARITIES, init_parity_table,
+                                         parity_hash_encode)
 
 
 class HashEncoding(nn.Module):
@@ -42,3 +44,48 @@ class HashEncoding(nn.Module):
                 key, self.num_levels, 1 << self.log2_hashmap_size,
                 self.features_per_level, dtype=self.table_dtype))
         return hash_encode(table, positions, scalings, self.log2_hashmap_size)
+
+
+class ParityHashEncoding(nn.Module):
+    """TPU-native multiresolution hash grid (``ops/hash_pallas.py``).
+
+    Same role as :class:`HashEncoding` (tinycudann HashGrid in the
+    reference) with the parity-partitioned table layout the Pallas kernel
+    scans.  ``features_per_level`` must be even (features are packed in
+    bf16 pairs); ``log2_hashmap_size`` >= 10 (one scan step = 1024
+    entries).  Output [N, F*L], feature-major channels like HashEncoding.
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 15
+    features_per_level: int = 2
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @property
+    def num_steps(self) -> int:
+        return max(1, (1 << self.log2_hashmap_size) // (PARITIES * LANES))
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        """positions [N, 3] in [0,1] -> [N, F*L] fp32."""
+        assert self.features_per_level % 2 == 0, "features packed in pairs"
+        num_packed = self.features_per_level // 2
+        scalings = tuple(
+            hash_grid_scalings(self.num_levels, self.min_res, self.max_res)
+            .tolist())
+        table = self.param(
+            "table",
+            lambda key: init_parity_table(key, self.num_levels,
+                                          self.num_steps, num_packed))
+        n = positions.shape[0]
+        pad = (-n) % LANES
+        if pad:
+            positions = jnp.concatenate(
+                [positions, jnp.full((pad, 3), 0.5, positions.dtype)])
+        out = parity_hash_encode(table, positions, scalings, self.num_steps)
+        return out[:n] if pad else out

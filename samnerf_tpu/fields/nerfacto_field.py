@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from samnerf_tpu.core.contraction import contract_to_unit
-from samnerf_tpu.fields.hash_encoding import HashEncoding
+from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
 from samnerf_tpu.fields.mlp import MLP, trunc_exp
 from samnerf_tpu.ops.encodings import sh_encoding
 
@@ -38,7 +38,7 @@ class NerfactoField(nn.Module):
     geo_feat_dim: int = 15
     num_levels: int = 16
     max_res: int = 2048
-    log2_hashmap_size: int = 19
+    log2_hashmap_size: int = 15
     num_layers_color: int = 3
     hidden_dim_color: int = 64
     appearance_embedding_dim: int = 32
@@ -47,7 +47,7 @@ class NerfactoField(nn.Module):
     compute_dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoding = HashEncoding(
+        self.encoding = ParityHashEncoding(
             num_levels=self.num_levels, min_res=16, max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size, features_per_level=2)
         self.mlp_base = MLP(hidden_dim=self.hidden_dim,
@@ -111,7 +111,7 @@ class HashMLPDensityField(nn.Module):
     num_levels: int = 5
     max_res: int = 128
     base_res: int = 16
-    log2_hashmap_size: int = 17
+    log2_hashmap_size: int = 13
     features_per_level: int = 2
     use_linear: bool = False
     compute_dtype: Any = jnp.float32
@@ -121,7 +121,7 @@ class HashMLPDensityField(nn.Module):
         """[R, S, 3] -> density [R, S, 1]."""
         p, selector = _contract_and_select(positions)
         flat = p.reshape(-1, 3)
-        enc = HashEncoding(
+        enc = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level)(flat)

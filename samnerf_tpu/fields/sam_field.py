@@ -15,13 +15,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from samnerf_tpu.core.contraction import contract_to_unit
-from samnerf_tpu.fields.hash_encoding import HashEncoding
+from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
 from samnerf_tpu.fields.mlp import MLP
 
 
 class SAMField(nn.Module):
     grid_layers: Tuple[int, ...] = (12, 12)
-    grid_sizes: Tuple[int, ...] = (19, 19)
+    grid_sizes: Tuple[int, ...] = (15, 15)
     grid_resolutions: Tuple[Tuple[int, int], ...] = ((16, 128), (128, 512))
     features_per_level: int = 8
     hidden_layers: int = 1
@@ -35,7 +35,7 @@ class SAMField(nn.Module):
 
     def setup(self):
         def make_pyramids(name):
-            return [HashEncoding(num_levels=self.grid_layers[i],
+            return [ParityHashEncoding(num_levels=self.grid_layers[i],
                                  min_res=self.grid_resolutions[i][0],
                                  max_res=self.grid_resolutions[i][1],
                                  log2_hashmap_size=self.grid_sizes[i],

@@ -131,39 +131,49 @@ def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2):
 
 
 def _fwd_kernel(pos_ref, table_ref, out_ref, *, plan, num_steps: int,
-                num_packed: int, num_levels: int):
-    """Blocks: pos [8, nt] (rows 0..2 = x,y,z in [0,1]),
-    table [P*L, num_steps*8, 128] packed f32, out [P*2*L, nt] f32.
+                num_packed: int, num_levels: int, tile: int):
+    """Blocks: pos [8, tile] (rows 0..2 = x,y,z in [0,1]),
+    table [P*L, num_steps*8, 128] packed f32, out [P*2*L, tile] f32.
+
+    The tile is processed in 128-lane sub-tiles by an inner loop so the
+    table block (whose index map is constant) is DMA'd once per `tile`
+    points rather than once per 128.
 
     Output channel layout: c = (p * 2 + f) * L + l  (feature-major within
     a packed pair, level minor — matches ``hash_encode``'s [N, F*L]).
     """
-    x = pos_ref[0:1, :]
-    y = pos_ref[1:2, :]
-    z = pos_ref[2:3, :]
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, LANES), 0)
     s0 = s_iota & 1
     s1 = (s_iota >> 1) & 1
     s2 = (s_iota >> 2) & 1
 
-    for l, (scale, dense, half) in enumerate(plan):
-        lo, hi, w = _corner_index_math(x, y, z, scale, dense, half,
-                                       num_steps, s0, s1, s2)
-        for p in range(num_packed):
-            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
-            for t in range(num_steps):
-                src = table_ref[p * num_levels + l,
-                                t * PARITIES:(t + 1) * PARITIES, :]
-                g = jnp.take_along_axis(src, lo, axis=1)
-                acc = jnp.where(hi == t, g, acc)
-            # unpack 2 bf16 from each f32 lane; weighted sum over corners
-            bits = pltpu.bitcast(acc, jnp.uint32)
-            f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-            f1 = pltpu.bitcast(bits << 16, jnp.float32)
-            c = (p * 2) * num_levels + l
-            out_ref[c:c + 1, :] = jnp.sum(f0 * w, axis=0, keepdims=True)
-            c = (p * 2 + 1) * num_levels + l
-            out_ref[c:c + 1, :] = jnp.sum(f1 * w, axis=0, keepdims=True)
+    for j in range(tile // LANES):
+        cols = slice(j * LANES, (j + 1) * LANES)
+        x = pos_ref[0:1, cols]
+        y = pos_ref[1:2, cols]
+        z = pos_ref[2:3, cols]
+        for l, (scale, dense, half) in enumerate(plan):
+            lo, hi, w = _corner_index_math(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2)
+            for p in range(num_packed):
+                li = p * num_levels + l
+                # python-unrolled scan: Mosaic pipelines the static slices
+                # well; a fori_loop with dynamic slices measured ~90x slower
+                acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+                for t in range(num_steps):
+                    src = table_ref[li, t * PARITIES:(t + 1) * PARITIES, :]
+                    g = jnp.take_along_axis(src, lo, axis=1)
+                    acc = jnp.where(hi == t, g, acc)
+                # unpack 2 bf16 per f32 lane; weighted sum over corners
+                bits = pltpu.bitcast(acc, jnp.uint32)
+                f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+                f1 = pltpu.bitcast(bits << 16, jnp.float32)
+                c = (p * 2) * num_levels + l
+                out_ref[c:c + 1, cols] = jnp.sum(f0 * w, axis=0,
+                                                 keepdims=True)
+                c = (p * 2 + 1) * num_levels + l
+                out_ref[c:c + 1, cols] = jnp.sum(f1 * w, axis=0,
+                                                 keepdims=True)
 
 
 def pack_table(table_f32: jax.Array) -> jax.Array:
@@ -179,7 +189,8 @@ def _fwd_call(packed_table, positions_t, *, plan, num_steps, num_packed,
               num_levels, tile):
     n = positions_t.shape[1]
     kern = functools.partial(_fwd_kernel, plan=plan, num_steps=num_steps,
-                             num_packed=num_packed, num_levels=num_levels)
+                             num_packed=num_packed, num_levels=num_levels,
+                             tile=tile)
     c_out = num_packed * 2 * num_levels
     return pl.pallas_call(
         kern,
@@ -198,7 +209,7 @@ def _fwd_call(packed_table, positions_t, *, plan, num_steps, num_packed,
 
 
 def _bwd_kernel(pos_ref, g_ref, gtab_ref, *, plan, num_steps: int,
-                num_packed: int, num_levels: int):
+                num_packed: int, num_levels: int, tile: int):
     """Blocks: pos [8, nt], cotangent g [P*2*L, nt],
     gtab [2, P*L, 8, steps, 128] f32 (parity-major so each class's grad is
     one contiguous [steps, 128] write), accumulated across the sequential
@@ -213,9 +224,6 @@ def _bwd_kernel(pos_ref, g_ref, gtab_ref, *, plan, num_steps: int,
     def _init():
         gtab_ref[...] = jnp.zeros_like(gtab_ref)
 
-    x = pos_ref[0:1, :]
-    y = pos_ref[1:2, :]
-    z = pos_ref[2:3, :]
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, LANES), 0)
     s0 = s_iota & 1
     s1 = (s_iota >> 1) & 1
@@ -223,32 +231,38 @@ def _bwd_kernel(pos_ref, g_ref, gtab_ref, *, plan, num_steps: int,
     lane_iota_t = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     step_iota = jax.lax.broadcasted_iota(jnp.int32, (num_steps, LANES), 0)
 
-    for l, (scale, dense, half) in enumerate(plan):
-        lo, hi, w = _corner_index_math(x, y, z, scale, dense, half,
-                                       num_steps, s0, s1, s2)
-        for s in range(PARITIES):
-            # [128 m-rows, nt]: oh_lo[m, j] = (lo[s, j] == m)
-            oh_lo = (lane_iota_t == lo[s:s + 1, :]).astype(jnp.float32)
-            # [steps t-rows, nt]: oh_hi[t, j] = (hi[s, j] == t)
-            oh_hi = (step_iota == hi[s:s + 1, :]).astype(jnp.float32)
-            ws = w[s:s + 1, :]
-            for p in range(num_packed):
-                li = p * num_levels + l
-                for f in range(2):
-                    gch = g_ref[(p * 2 + f) * num_levels + l:
-                                (p * 2 + f) * num_levels + l + 1]
-                    u = oh_hi * (gch * ws)            # [steps, nt]
-                    grad = jax.lax.dot_general(
-                        u, oh_lo, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [steps, 128]
-                    gtab_ref[f, li, s, :, :] += grad
+    for j in range(tile // LANES):
+        cols = slice(j * LANES, (j + 1) * LANES)
+        x = pos_ref[0:1, cols]
+        y = pos_ref[1:2, cols]
+        z = pos_ref[2:3, cols]
+        for l, (scale, dense, half) in enumerate(plan):
+            lo, hi, w = _corner_index_math(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2)
+            for s in range(PARITIES):
+                # [128 m-rows, nt]: oh_lo[m, j] = (lo[s, j] == m)
+                oh_lo = (lane_iota_t == lo[s:s + 1, :]).astype(jnp.float32)
+                # [steps t-rows, nt]: oh_hi[t, j] = (hi[s, j] == t)
+                oh_hi = (step_iota == hi[s:s + 1, :]).astype(jnp.float32)
+                ws = w[s:s + 1, :]
+                for p in range(num_packed):
+                    li = p * num_levels + l
+                    for f in range(2):
+                        gch = g_ref[(p * 2 + f) * num_levels + l:
+                                    (p * 2 + f) * num_levels + l + 1, cols]
+                        u = oh_hi * (gch * ws)            # [steps, nt]
+                        grad = jax.lax.dot_general(
+                            u, oh_lo, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        gtab_ref[f, li, s, :, :] += grad
 
 
 def _bwd_call(positions_t, g, *, plan, num_steps, num_packed, num_levels,
               tile):
     n = positions_t.shape[1]
     kern = functools.partial(_bwd_kernel, plan=plan, num_steps=num_steps,
-                             num_packed=num_packed, num_levels=num_levels)
+                             num_packed=num_packed, num_levels=num_levels,
+                             tile=tile)
     c_out = num_packed * 2 * num_levels
     gl = num_packed * num_levels
     return pl.pallas_call(
@@ -297,15 +311,28 @@ def parity_hash_encode_ref(table: jax.Array, positions: jax.Array,
 # --- public custom-vjp op -----------------------------------------------------
 
 
+def _pick_tile(n: int, cap: int = 128) -> int:
+    """Largest power-of-two tile <= cap dividing n (n is a multiple of 128).
+
+    The table block has a trivial window (constant index map), so Mosaic
+    keeps it VMEM-resident across grid steps — bigger tiles only grow the
+    unrolled program (compile time), they don't save table DMA."""
+    t = cap
+    while t > LANES and n % t:
+        t //= 2
+    return t
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def parity_hash_encode(table: jax.Array, positions: jax.Array,
                        scalings, num_steps: int,
-                       tile: int = 128) -> jax.Array:
+                       tile: int = 0) -> jax.Array:
     """TPU hash encoding. table [P*L, steps*8, 128, 2] fp32,
-    positions [N, 3] (N multiple of `tile`) -> [N, P*2*L] fp32.
+    positions [N, 3] (N multiple of 128) -> [N, P*2*L] fp32.
 
     Channel c = (p*2+f)*L + l: feature-major within each packed pair.
     Uses the Pallas kernel on TPU, the jnp reference elsewhere.
+    tile=0 auto-selects the grid tile.
     """
     return _fwd(table, positions, scalings, num_steps, tile)
 
@@ -319,7 +346,8 @@ def _fwd(table, positions, scalings, num_steps, tile):
     n = positions.shape[0]
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     out = _fwd_call(pack_table(table), pos_t, plan=plan, num_steps=num_steps,
-                    num_packed=num_packed, num_levels=num_levels, tile=tile)
+                    num_packed=num_packed, num_levels=num_levels,
+                    tile=tile or _pick_tile(n))
     return out.T
 
 
@@ -342,7 +370,8 @@ def _bwd_rule(scalings, num_steps, tile, positions, g):
         return vjp(g)[0], jnp.zeros_like(positions)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     gtab = _bwd_call(pos_t, g.T, plan=plan, num_steps=num_steps,
-                     num_packed=num_packed, num_levels=num_levels, tile=tile)
+                     num_packed=num_packed, num_levels=num_levels,
+                     tile=tile or _pick_tile(n))
     # [2, gl, 8, steps, 128] parity-major -> table layout
     # [gl, steps*8, 128, 2] (row 8t+s belongs to parity class s)
     gtab = jnp.moveaxis(gtab, 0, -1)          # [gl, 8, steps, 128, 2]
