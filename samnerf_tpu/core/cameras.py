@@ -12,9 +12,12 @@ Reference: ``nerfstudio/cameras/cameras.py`` (Cameras :62-310,
 
 TPU redesign: ray generation is a pure jittable function of (Cameras pytree,
 indices, coords) that runs inside the train step, so only integer pixel
-indices cross host->device.  Only PERSPECTIVE is implemented (the samnerf
-pipelines use llff2nerf data with no distortion); OpenCV distortion hooks in
-via ``undistort_coords`` when parameters are present.
+indices cross host->device.  PERSPECTIVE / FISHEYE / EQUIRECTANGULAR are
+supported (the reference's three types, ``cameras.py:649-689``); rather
+than the reference's boolean-mask scatter per type, all three direction
+formulas are computed dense and selected per ray with jnp.where — the
+XLA-friendly equivalent.  OpenCV distortion hooks in via
+``undistort_coords`` when parameters are present.
 """
 from __future__ import annotations
 
@@ -28,6 +31,8 @@ from flax import struct
 from samnerf_tpu.core.rays import RayBundle
 
 PERSPECTIVE = 1
+FISHEYE = 2
+EQUIRECTANGULAR = 3
 
 
 @struct.dataclass
@@ -40,6 +45,7 @@ class Cameras:
     width: jax.Array = struct.field(pytree_node=False, default=None)  # int
     height: jax.Array = struct.field(pytree_node=False, default=None)  # int
     distortion_params: Optional[jax.Array] = None  # [N, 6] k1 k2 k3 k4 p1 p2
+    camera_type: Optional[jax.Array] = None  # [N, 1] int32, default PERSPECTIVE
 
     @property
     def num_cameras(self) -> int:
@@ -79,13 +85,17 @@ def undistort_coords(coords: jax.Array, distortion: jax.Array,
 
 
 def generate_rays(cameras: Cameras, camera_indices: jax.Array,
-                  coords: jax.Array, pixel_offset: float = 0.5) -> RayBundle:
+                  coords: jax.Array, pixel_offset: float = 0.5,
+                  camera_opt_to_camera: Optional[jax.Array] = None
+                  ) -> RayBundle:
     """Generate world-space rays.
 
     Args:
         cameras: Cameras pytree.
         camera_indices: [R] int32.
         coords: [R, 2] float or int (row, col) pixel coords (offset added).
+        camera_opt_to_camera: optional [R, 3, 4] learned pose deltas
+            (``cameras.py:696-697``).
     """
     ci = camera_indices.astype(jnp.int32)
     y = coords[..., 0].astype(jnp.float32) + pixel_offset
@@ -104,10 +114,35 @@ def generate_rays(cameras: Cameras, camera_indices: jax.Array,
         dist = cameras.distortion_params[ci]  # [R, 6]
         coord_stack = undistort_coords(coord_stack, dist[None])
 
-    dirs_cam = jnp.concatenate(
-        [coord_stack, -jnp.ones_like(coord_stack[..., :1])], axis=-1)  # [3, R, 3]
+    # PERSPECTIVE: [x, y, -1] (cameras.py:652-656)
+    dirs_persp = jnp.concatenate(
+        [coord_stack, -jnp.ones_like(coord_stack[..., :1])], axis=-1)
+
+    if cameras.camera_type is not None:
+        ctype = cameras.camera_type[ci, 0][None, :, None]  # [1, R, 1]
+        # FISHEYE: equidistant model (cameras.py:658-670)
+        theta_f = jnp.clip(
+            jnp.sqrt(jnp.sum(coord_stack ** 2, axis=-1)), 1e-6, jnp.pi)
+        sin_t = jnp.sin(theta_f) / theta_f
+        dirs_fish = jnp.stack(
+            [coord_stack[..., 0] * sin_t, coord_stack[..., 1] * sin_t,
+             -jnp.cos(theta_f)], axis=-1)
+        # EQUIRECTANGULAR: fx = fy = height = width/2 (cameras.py:672-683)
+        theta_e = -jnp.pi * coord_stack[..., 0]
+        phi = jnp.pi * (0.5 - coord_stack[..., 1])
+        dirs_eq = jnp.stack(
+            [-jnp.sin(theta_e) * jnp.sin(phi), jnp.cos(phi),
+             -jnp.cos(theta_e) * jnp.sin(phi)], axis=-1)
+        dirs_cam = jnp.where(ctype == FISHEYE, dirs_fish,
+                             jnp.where(ctype == EQUIRECTANGULAR, dirs_eq,
+                                       dirs_persp))
+    else:
+        dirs_cam = dirs_persp
 
     c2w = cameras.camera_to_worlds[ci]  # [R, 3, 4]
+    if camera_opt_to_camera is not None:
+        from samnerf_tpu.core.lie_groups import multiply_poses
+        c2w = multiply_poses(c2w, camera_opt_to_camera)
     rotation = c2w[..., :3, :3]
     dirs_world = jnp.sum(dirs_cam[..., None, :] * rotation[None], axis=-1)  # [3, R, 3]
     norms = jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)

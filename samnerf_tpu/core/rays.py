@@ -104,10 +104,11 @@ class RaySamples:
         Args:
             ids: [R, K] int32 sample indices into axis -2.
         """
-        idx = ids[..., None]  # [R, K, 1]
+        from samnerf_tpu.ops.gather import take_rows
 
         def g(x):
-            return jnp.take_along_axis(x, idx, axis=-2)
+            # one-hot matmul: XLA's general gather is scalar-bound on TPU
+            return take_rows(x, ids)
 
         return self.replace(
             starts=g(self.starts),

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from samnerf_tpu.core.rays import RaySamples
+from samnerf_tpu.ops.gather import take_along_last
 from samnerf_tpu.ops.samplers import searchsorted_right
 
 EPS = 1e-7
@@ -34,8 +35,8 @@ def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
     idx_hi = searchsorted_right(t1_ends, t0_ends)
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    cy1_lo = take_along_last(cy1[..., :-1], idx_lo)
+    cy1_hi = take_along_last(cy1[..., 1:], idx_hi)
     return cy1_hi - cy1_lo
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from samnerf_tpu.core.rays import RaySamples
+from samnerf_tpu.ops.gather import take_along_last
 from samnerf_tpu.ops.samplers import searchsorted_right
 
 
@@ -64,7 +65,7 @@ def render_depth_median(weights: jax.Array, ray_samples: RaySamples) -> jax.Arra
     # side='left': count of elements strictly less than 0.5
     idx = jnp.sum((cum[..., None, :] < split[..., :, None]).astype(jnp.int32), axis=-1)
     idx = jnp.clip(idx, 0, steps.shape[-2] - 1)  # [R, 1]
-    return jnp.take_along_axis(steps[..., 0], idx, axis=-1)  # [R, 1]
+    return take_along_last(steps[..., 0], idx)  # [R, 1]
 
 
 def render_depth_expected(weights: jax.Array, ray_samples: RaySamples,

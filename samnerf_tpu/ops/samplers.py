@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from samnerf_tpu.core.rays import RayBundle, RaySamples
+from samnerf_tpu.ops.gather import take_along_last
 
 # --- spacing functions (UniformLinDispPiecewise, ray_samplers.py:240-246) ----
 
@@ -138,10 +139,11 @@ def pdf_samples(rng: Optional[jax.Array], ray_bundle: RayBundle,
     inds = searchsorted_right(cdf, u)  # [R, U]
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    # one-hot gathers: XLA's general gather is scalar-core bound on TPU
+    cdf_g0 = take_along_last(cdf, below)
+    bins_g0 = take_along_last(existing_bins, below)
+    cdf_g1 = take_along_last(cdf, above)
+    bins_g1 = take_along_last(existing_bins, above)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
     bins = bins_g0 + t * (bins_g1 - bins_g0)
