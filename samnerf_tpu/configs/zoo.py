@@ -1,0 +1,122 @@
+"""Registry of the non-flagship model families.
+
+Reference: ``nerfstudio/configs/method_configs.py`` registers ~14 methods
+(``samnerf/samconfigs.py:32-40`` imports these models so they are part of
+the config surface even though only the samnerf methods ship presets).
+Each entry bundles (model constructor, loss fn, per-group optimizers) in
+a trainer-agnostic shape; ``make_zoo_train_step`` below adapts any of
+them to one jitted optax step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from samnerf_tpu.core.cameras import Cameras, generate_rays
+
+
+@dataclasses.dataclass
+class ZooMethod:
+    """A registered method: zero-arg builders keep imports lazy."""
+    name: str
+    build: Callable[[], Any]          # () -> (flax module, config)
+    loss_fn: Callable[..., Dict]      # (outputs, batch) -> losses
+    loss_needs_config: bool = False
+    loss_needs_params: bool = False
+
+
+def _vanilla():
+    from samnerf_tpu.models import vanilla_nerf as m
+    cfg = m.VanillaNerfConfig()
+    return m.VanillaNerfModel(cfg), cfg
+
+
+def _mipnerf():
+    from samnerf_tpu.models import mipnerf as m
+    cfg = m.MipNerfConfig()
+    return m.MipNerfModel(cfg), cfg
+
+
+def _instant_ngp():
+    from samnerf_tpu.models import instant_ngp as m
+    cfg = m.InstantNGPConfig()
+    return m.InstantNGPModel(cfg), cfg
+
+
+def _tensorf():
+    from samnerf_tpu.models import tensorf as m
+    cfg = m.TensoRFConfig()
+    return m.TensoRFModel(cfg), cfg
+
+
+def _depth_nerfacto():
+    from samnerf_tpu.models import depth_nerfacto as m
+    cfg = m.DepthNerfactoConfig()
+    return m.DepthNerfactoModel(cfg.base), cfg
+
+
+def _semantic_nerfw():
+    from samnerf_tpu.models import semantic_nerfw as m
+    cfg = m.SemanticNerfWConfig()
+    return m.SemanticNerfWModel(cfg), cfg
+
+
+def _nerfplayer():
+    from samnerf_tpu.models import nerfplayer as m
+    cfg = m.NerfPlayerConfig()
+    return m.NerfPlayerModel(cfg), cfg
+
+
+def zoo_methods() -> Dict[str, ZooMethod]:
+    from samnerf_tpu.models import (depth_nerfacto, instant_ngp, mipnerf,
+                                    nerfplayer, semantic_nerfw, tensorf,
+                                    vanilla_nerf)
+    return {
+        "vanilla-nerf": ZooMethod("vanilla-nerf", _vanilla,
+                                  vanilla_nerf.get_loss_dict),
+        "mipnerf": ZooMethod("mipnerf", _mipnerf, mipnerf.get_loss_dict),
+        "instant-ngp": ZooMethod("instant-ngp", _instant_ngp,
+                                 instant_ngp.get_loss_dict),
+        "tensorf": ZooMethod("tensorf", _tensorf, tensorf.get_loss_dict,
+                             loss_needs_config=True, loss_needs_params=True),
+        "depth-nerfacto": ZooMethod("depth-nerfacto", _depth_nerfacto,
+                                    depth_nerfacto.get_loss_dict,
+                                    loss_needs_config=True),
+        "semantic-nerfw": ZooMethod("semantic-nerfw", _semantic_nerfw,
+                                    semantic_nerfw.get_loss_dict,
+                                    loss_needs_config=True),
+        "nerfplayer-nerfacto": ZooMethod("nerfplayer-nerfacto", _nerfplayer,
+                                         nerfplayer.get_loss_dict),
+    }
+
+
+def make_zoo_train_step(method: ZooMethod, model, config,
+                        optimizer: optax.GradientTransformation):
+    """One jitted optax step over (params, opt_state, cameras, batch)."""
+
+    def step(params, opt_state, cameras: Cameras, batch, rng):
+        bundle = generate_rays(cameras, batch["indices"][:, 0],
+                               batch["indices"][:, 1:].astype(jnp.float32))
+
+        def loss_fn(p):
+            out = model.apply(p, bundle, rng=rng, train=True)
+            if method.loss_needs_config and method.loss_needs_params:
+                losses = method.loss_fn(config, p, out, batch)
+            elif method.loss_needs_config:
+                losses = method.loss_fn(config, out, batch)
+            else:
+                losses = method.loss_fn(out, batch)
+            return sum(jax.tree.leaves(losses)), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn,
+                                                    has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {"total_loss": total, **losses}
+        return new_params, new_opt, metrics
+
+    return step

@@ -38,6 +38,7 @@ class RayBundle:
     camera_indices: Optional[jax.Array] = None  # [..., 1] int32
     nears: Optional[jax.Array] = None  # [..., 1]
     fars: Optional[jax.Array] = None  # [..., 1]
+    times: Optional[jax.Array] = None  # [..., 1] in [0, 1]
 
     @property
     def num_rays(self) -> int:
@@ -75,6 +76,7 @@ class RaySamples:
     s_far: jax.Array  # [R, 1]
     pixel_area: Optional[jax.Array] = None  # [R, 1]
     camera_indices: Optional[jax.Array] = None  # [R, 1] int32
+    times: Optional[jax.Array] = None  # [R, 1] in [0, 1]
 
     @property
     def deltas(self) -> jax.Array:  # [R, S, 1]

@@ -1,0 +1,112 @@
+"""Vanilla NeRF (coarse + fine) model.
+
+Reference: ``nerfstudio/models/vanilla_nerf.py`` (NeRFModel) with the
+classic field of ``nerfstudio/fields/vanilla_nerf_field.py``: frequency
+encodings (10 position / 4 direction), 8x256 MLP with a skip, separate
+coarse and fine networks, uniform 64 + PDF 128 sampling.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from samnerf_tpu.core.rays import RayBundle
+from samnerf_tpu.fields.mlp import MLP, trunc_exp
+from samnerf_tpu.ops import rendering as render_ops
+from samnerf_tpu.ops import samplers as S
+from samnerf_tpu.ops.encodings import nerf_frequency_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class VanillaNerfConfig:
+    num_coarse_samples: int = 64
+    num_importance_samples: int = 128
+    near_plane: float = 0.05
+    far_plane: float = 1000.0
+    pos_frequencies: int = 10
+    dir_frequencies: int = 4
+    hidden_dim: int = 256
+    background_color: str = "white"
+
+
+class NeRFField(nn.Module):
+    """``vanilla_nerf_field.py``: 8-layer trunk with skip at 4, density
+    branch + direction-conditioned color branch."""
+
+    pos_frequencies: int = 10
+    dir_frequencies: int = 4
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, positions: jax.Array, directions: jax.Array) -> Dict:
+        p_enc = nerf_frequency_encoding(positions, self.pos_frequencies)
+        d_enc = nerf_frequency_encoding(directions, self.dir_frequencies)
+        d_enc = jnp.broadcast_to(d_enc[..., None, :],
+                                 (*positions.shape[:-1], d_enc.shape[-1]))
+        h = MLP(hidden_dim=self.hidden_dim, num_hidden_layers=3,
+                out_dim=self.hidden_dim, output_activation=nn.relu,
+                name="trunk_a")(p_enc)
+        h = MLP(hidden_dim=self.hidden_dim, num_hidden_layers=3,
+                out_dim=self.hidden_dim, output_activation=nn.relu,
+                name="trunk_b")(jnp.concatenate([h, p_enc], axis=-1))
+        density = trunc_exp(nn.Dense(1, name="density")(h))
+        color_in = jnp.concatenate([h, d_enc], axis=-1)
+        rgb = MLP(hidden_dim=self.hidden_dim // 2, num_hidden_layers=0,
+                  out_dim=3, output_activation=nn.sigmoid,
+                  name="color")(color_in)
+        return {"density": density, "rgb": rgb}
+
+
+class VanillaNerfModel(nn.Module):
+    config: VanillaNerfConfig
+
+    def setup(self):
+        self.field_coarse = NeRFField(
+            pos_frequencies=self.config.pos_frequencies,
+            dir_frequencies=self.config.dir_frequencies,
+            hidden_dim=self.config.hidden_dim, name="field_coarse")
+        self.field_fine = NeRFField(
+            pos_frequencies=self.config.pos_frequencies,
+            dir_frequencies=self.config.dir_frequencies,
+            hidden_dim=self.config.hidden_dim, name="field_fine")
+
+    def __call__(self, ray_bundle: RayBundle,
+                 rng: Optional[jax.Array] = None,
+                 train: bool = True) -> Dict[str, Any]:
+        cfg = self.config
+        rb = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
+        coarse = S.initial_samples(rng, rb, cfg.num_coarse_samples,
+                                   stratified=train,
+                                   spacing_fn=lambda x: x,
+                                   spacing_inv=lambda x: x)
+        out_c = self.field_coarse(coarse.positions(), coarse.directions)
+        w_c = coarse.get_weights(out_c["density"])
+        fine = S.pdf_samples(rng, rb, coarse, w_c,
+                             cfg.num_importance_samples, stratified=train,
+                             include_original=True,
+                             spacing_inv=lambda x: x)
+        out_f = self.field_fine(fine.positions(), fine.directions)
+        w_f = fine.get_weights(out_f["density"])
+        return {
+            "rgb_coarse": render_ops.render_rgb(
+                out_c["rgb"], w_c, cfg.background_color, training=train),
+            "rgb_fine": render_ops.render_rgb(
+                out_f["rgb"], w_f, cfg.background_color, training=train),
+            "rgb": render_ops.render_rgb(
+                out_f["rgb"], w_f, cfg.background_color, training=train),
+            "accumulation": render_ops.render_accumulation(w_f),
+            "depth": render_ops.render_depth_expected(w_f, fine),
+        }
+
+
+def get_loss_dict(outputs: Dict[str, jax.Array],
+                  batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    img = batch["image"]
+    return {
+        "rgb_loss_coarse": jnp.mean((outputs["rgb_coarse"] - img) ** 2),
+        "rgb_loss_fine": jnp.mean((outputs["rgb_fine"] - img) ** 2),
+    }

@@ -214,3 +214,159 @@ def nerf_frequency_encoding(x: jax.Array, num_frequencies: int) -> jax.Array:
     scaled = x[..., None] * freqs  # [..., D, F]
     enc = jnp.concatenate([jnp.sin(jnp.pi * scaled), jnp.cos(jnp.pi * scaled)], axis=-1)
     return enc.reshape(*x.shape[:-1], -1)
+
+
+# --- Random Fourier features (``encodings.py:143-180`` RFFEncoding) -----------
+
+def rff_encoding(x: jax.Array, b_matrix: jax.Array) -> jax.Array:
+    """x [..., D] projected by fixed Gaussian B [D, F] -> sin/cos [..., 2F]."""
+    proj = 2.0 * jnp.pi * (x @ b_matrix)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+# --- Integrated positional encoding (mip-NeRF) --------------------------------
+# Reference: ``encodings.py:99-140`` with covs (expected_sin) — the NeRF
+# frequency encoding attenuated by the cone footprint's diagonal covariance.
+
+def integrated_pos_enc(means: jax.Array, covs_diag: jax.Array,
+                       num_frequencies: int) -> jax.Array:
+    """means/covs_diag [..., D] -> [..., 2*D*F].
+
+    E[sin(x)] under N(mu, sigma^2) = sin(mu) exp(-sigma^2/2).
+    """
+    freqs = 2.0 ** jnp.arange(num_frequencies)
+    scaled = means[..., None] * freqs * jnp.pi          # [..., D, F]
+    var = covs_diag[..., None] * (freqs * jnp.pi) ** 2  # [..., D, F]
+    atten = jnp.exp(-0.5 * var)
+    enc = jnp.concatenate([jnp.sin(scaled) * atten, jnp.cos(scaled) * atten],
+                          axis=-1)
+    return enc.reshape(*means.shape[:-1], -1)
+
+
+def conical_frustum_to_gaussian(ray_samples) -> tuple:
+    """Frustum -> (mean, diag cov) along the ray (mip-NeRF eq. 7;
+    ``cameras/rays.py:76-100`` get_gaussian_blob semantics, diagonalized).
+    """
+    origins = ray_samples.origins[..., None, :]      # [R, 1, 3]
+    directions = ray_samples.directions[..., None, :]
+    t0 = ray_samples.starts                          # [R, S, 1]
+    t1 = ray_samples.ends
+    radius = (jnp.sqrt(ray_samples.pixel_area)
+              / 1.7724538509055159)[..., None, :]    # [R, 1, 1] (sqrt(pi))
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    denom = jnp.maximum(3.0 * mu ** 2 + hw ** 2, 1e-10)
+    t_mean = mu + (2.0 * mu * hw ** 2) / denom
+    t_var = hw ** 2 / 3.0 - (4.0 / 15.0) * ((hw ** 4 * (12.0 * mu ** 2 - hw ** 2)) / denom ** 2)
+    r_var = radius ** 2 * (mu ** 2 / 4.0 + (5.0 / 12.0) * hw ** 2 - (4.0 / 15.0) * (hw ** 4) / denom)
+    mean = origins + directions * t_mean
+    d2 = directions ** 2
+    # diagonal of t_var * d d^T + r_var * (I - d d^T / |d|^2)
+    cov_diag = t_var * d2 + r_var * (1.0 - d2 / jnp.maximum(
+        jnp.sum(d2, axis=-1, keepdims=True), 1e-10))
+    return mean, cov_diag
+
+
+# --- TensoRF / triplane factorizations ----------------------------------------
+# Reference: ``encodings.py`` TensorCPEncoding (:353-419), TensorVMEncoding
+# (:422-503), TriplaneEncoding (:506-580).  Lookups are linear interps on
+# dense 1D lines / 2D planes.
+
+
+def _interp_1d(lines: jax.Array, u: jax.Array) -> jax.Array:
+    """lines [A, RES, C], u [A, N] in [0,1] -> [A, N, C]."""
+    res = lines.shape[1]
+    x = jnp.clip(u, 0.0, 1.0) * (res - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 2)
+    f = (x - x0)[..., None]
+    g0 = jnp.take_along_axis(lines, x0[..., None], axis=1)  # [A, N, C]
+    g1 = jnp.take_along_axis(lines, x0[..., None] + 1, axis=1)
+    return g0 * (1.0 - f) + g1 * f
+
+
+def _interp_2d(planes: jax.Array, uv: jax.Array) -> jax.Array:
+    """planes [A, RES, RES, C], uv [A, N, 2] in [0,1] -> [A, N, C]."""
+    a, res, _, c = planes.shape
+    xy = jnp.clip(uv, 0.0, 1.0) * (res - 1)
+    xy0 = jnp.clip(jnp.floor(xy).astype(jnp.int32), 0, res - 2)
+    f = xy - xy0
+    flat = planes.reshape(a, res * res, c)
+
+    def g(ix, iy):
+        idx = iy * res + ix  # [A, N]
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    x0, y0 = xy0[..., 0], xy0[..., 1]
+    fx, fy = f[..., 0:1], f[..., 1:2]
+    v = (g(x0, y0) * (1 - fx) * (1 - fy) + g(x0 + 1, y0) * fx * (1 - fy)
+         + g(x0, y0 + 1) * (1 - fx) * fy + g(x0 + 1, y0 + 1) * fx * fy)
+    return v
+
+
+def tensor_cp_encode(lines: jax.Array, positions: jax.Array) -> jax.Array:
+    """TensorCP (``encodings.py:353-419``): per-axis line features
+    multiplied. lines [3, RES, C]; positions [N, 3] in [0,1] -> [N, C]."""
+    u = positions.T  # [3, N]
+    feats = _interp_1d(lines, u)  # [3, N, C]
+    return feats[0] * feats[1] * feats[2]
+
+
+def tensor_vm_encode(planes: jax.Array, lines: jax.Array,
+                     positions: jax.Array) -> jax.Array:
+    """TensorVM (``encodings.py:422-503``): plane (yz, xz, xy) features x
+    complementary line (x, y, z) features, concatenated.
+
+    planes [3, RES, RES, C]; lines [3, RES, C]; positions [N, 3] ->
+    [N, 3C]."""
+    p = positions
+    uv = jnp.stack([p[:, [1, 2]], p[:, [0, 2]], p[:, [0, 1]]])  # [3, N, 2]
+    u = p.T  # [3, N] complementary coordinate per plane
+    plane_f = _interp_2d(planes, uv)   # [3, N, C]
+    line_f = _interp_1d(lines, u)      # [3, N, C]
+    out = plane_f * line_f
+    return jnp.concatenate([out[0], out[1], out[2]], axis=-1)
+
+
+def triplane_encode(planes: jax.Array, positions: jax.Array,
+                    reduce: str = "sum") -> jax.Array:
+    """Triplane (``encodings.py:506-580``): three axis-aligned planes,
+    summed (or product-reduced). planes [3, RES, RES, C] -> [N, C]."""
+    p = positions
+    uv = jnp.stack([p[:, [0, 1]], p[:, [0, 2]], p[:, [1, 2]]])
+    f = _interp_2d(planes, uv)  # [3, N, C]
+    if reduce == "sum":
+        return f[0] + f[1] + f[2]
+    if reduce == "product":
+        return f[0] * f[1] * f[2]
+    raise ValueError(reduce)
+
+
+# --- Temporal (4D) hash grid ---------------------------------------------------
+# Reference: the in-tree CUDA kernel ``temporal_gridencoder.cu`` (SURVEY 2f
+# item 5) — a hash grid where the feature row additionally depends on the
+# (continuous) time coordinate.  Rebuilt as: spatial trilinear hash exactly
+# like ``hash_encode``, with time folded into the spatial hash via a 4th
+# prime and linear interpolation over the two nearest time steps.
+
+_TIME_PRIME = 2097192037
+
+
+def temporal_hash_encode(table: jax.Array, positions: jax.Array,
+                         times: jax.Array, scalings, log2_table_size: int,
+                         num_time_steps: int) -> jax.Array:
+    """table [F, L*2^S]; positions [N, 3]; times [N] in [0,1] ->
+    [N, F*L]."""
+    from samnerf_tpu.ops.encodings import hash_encode  # self-import safe
+    t = jnp.clip(times, 0.0, 1.0) * (num_time_steps - 1)
+    t0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, num_time_steps - 2)
+    f = (t - t0)[:, None]
+
+    def enc_at(ti):
+        # fold the time index into position space by offsetting the hash:
+        # shift positions by a per-timestep pseudo-random offset so the two
+        # time slices address disjoint table regions
+        offs = (ti.astype(jnp.float32) * 0.61803398875)[:, None]
+        return hash_encode(table, positions + offs, scalings,
+                           log2_table_size)
+
+    return enc_at(t0) * (1.0 - f) + enc_at(t0 + 1) * f

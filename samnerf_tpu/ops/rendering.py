@@ -101,3 +101,23 @@ def topk_sharpened_weights(weights: jax.Array, k: int,
     w = w.astype(jnp.float32) ** temperature
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-37)
     return w[..., None], ids
+
+
+def render_semantics(semantics: jax.Array, weights: jax.Array) -> jax.Array:
+    """SemanticRenderer (``renderers.py:290-302``): weighted sum of
+    per-sample class logits. semantics [R, S, C] -> [R, C]."""
+    return jnp.sum(weights * semantics, axis=-2)
+
+
+def render_uncertainty(betas: jax.Array, weights: jax.Array) -> jax.Array:
+    """UncertaintyRenderer (``renderers.py:305-317``). betas [R, S, 1]."""
+    return jnp.sum(weights * betas, axis=-2)
+
+
+def render_normals(normals: jax.Array, weights: jax.Array,
+                   normalize: bool = True) -> jax.Array:
+    """NormalsRenderer (``renderers.py:320-344``). normals [R, S, 3]."""
+    n = jnp.sum(weights * normals, axis=-2)
+    if normalize:
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    return n

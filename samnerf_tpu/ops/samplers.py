@@ -56,6 +56,7 @@ def _make_ray_samples(ray_bundle: RayBundle, euclid_bins: jax.Array,
         s_far=s_far,
         pixel_area=ray_bundle.pixel_area,
         camera_indices=ray_bundle.camera_indices,
+        times=ray_bundle.times,
     )
 
 
