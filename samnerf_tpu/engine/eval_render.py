@@ -150,3 +150,58 @@ class ImageRenderer:
                                                         tuple(features))
         return self._frame_fns[key](params, cameras,
                                     jnp.asarray(camera_index, jnp.int32))
+
+
+def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
+                           features: Tuple[str, ...] = ()):
+    """Data-parallel frame rendering over a device mesh.
+
+    The single-chip frame fn lax.maps over ray chunks; here the chunk
+    axis is sharded over the mesh's data axis with ``shard_map`` — each
+    chip renders its slice of the frame, XLA all-gathers the image at
+    the end (one collective per output).  Scales the reference's
+    single-GPU viewer render path (``render_state_machine.py:135-243``)
+    across a slice, replacing DDP-style replication.
+    """
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from samnerf_tpu.parallel.mesh import DATA_AXIS
+
+    cfg = renderer.cfg
+    chunk = renderer.chunk
+    n_dev = mesh.shape[DATA_AXIS]
+    rgb_coords = jnp.asarray(_chunked_coords(h, w, chunk))
+    pad_chunks = (-rgb_coords.shape[0]) % n_dev
+    if pad_chunks:
+        rgb_coords = jnp.concatenate(
+            [rgb_coords, jnp.tile(rgb_coords[-1:], (pad_chunks, 1, 1))])
+    n_pix = h * w
+
+    def local_render(params, cameras, cam_idx, coords):
+        def body(c):
+            rb = generate_rays(
+                cameras, jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c)
+            return renderer.model.apply(params, rb, train=False,
+                                        get_features=features)
+        return jax.lax.map(body, coords)
+
+    smapped = shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_rep=False)
+
+    @jax.jit
+    def frame(params, cameras, cam_idx):
+        out = smapped(params, cameras, cam_idx, rgb_coords)
+        res = {}
+        for k in ("rgb", "depth", "accumulation"):
+            if k in out:
+                v = out[k]
+                res[k] = v.reshape(-1, v.shape[-1])[:n_pix].reshape(
+                    h, w, v.shape[-1])
+        return res
+
+    return frame

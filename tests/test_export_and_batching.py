@@ -43,3 +43,24 @@ def test_sam_decoder_export_roundtrip():
                                  False, method=Sam.decode_masks)
     np.testing.assert_allclose(np.asarray(low_res), np.asarray(ref_low),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sds_gradient_shape_and_surrogate():
+    from samnerf_tpu.generative.stable_diffusion import sds_gradient, sds_loss
+
+    def denoise_fn(noisy, t, emb):
+        return noisy * 0.5  # toy score model
+
+    lat = jnp.ones((1, 8, 8, 4)) * 0.3
+    emb = jnp.zeros((1, 16))
+    ac = jnp.linspace(0.999, 0.01, 100)
+    g = sds_gradient(denoise_fn, lat, emb, jax.random.PRNGKey(0), ac)
+    assert g.shape == lat.shape
+    grad = jax.grad(lambda l: sds_loss(denoise_fn, l, emb,
+                                       jax.random.PRNGKey(0), ac))(lat)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g), rtol=1e-6)
+
+
+def test_plugin_discovery_empty():
+    from samnerf_tpu.utils.plugins import discover_methods
+    assert discover_methods() == {}
