@@ -95,10 +95,17 @@ def main():
     assert out.shape == (H, W, 3) and out.dtype == np.uint8
     np.asarray(serve_frame(clicks[1]))
 
+    # pipelined serving (throughput): submit frame i+1 before fetching
+    # frame i so device compute overlaps the host transfer — the same
+    # double-buffering the reference's render thread achieves by decoupling
+    # render and websocket send (render_state_machine.py:245-319)
     n = 8
     t0 = time.time()
-    for i in range(n):
-        out = np.asarray(serve_frame(clicks[i % 2]))
+    pending = serve_frame(clicks[0])
+    for i in range(1, n + 1):
+        nxt = serve_frame(clicks[i % 2]) if i < n else None
+        out = np.asarray(pending)
+        pending = nxt
     dt = (time.time() - t0) / n
     fps = 1.0 / dt
 
