@@ -77,3 +77,47 @@ def test_websocket_server_roundtrip():
     with wsc.connect("ws://127.0.0.1:17117", max_size=None) as ws2:
         out = m.Message.deserialize(ws2.recv(timeout=5))
         assert isinstance(out, m.StatusMessage) and out.step == 3
+
+
+def test_control_panel_elements_and_hidden_logic():
+    from samnerf_tpu.viewer import messages as m
+    from samnerf_tpu.viewer.control_panel import ControlPanel
+
+    class FakeServer:
+        def __init__(self):
+            self.sent = []
+            self.handlers = {}
+
+        def broadcast(self, msg):
+            self.sent.append(msg)
+
+        def register_handler(self, t, cb):
+            self.handlers[t] = cb
+
+    srv = FakeServer()
+    rerenders = []
+    panel = ControlPanel(srv, rerender_cb=lambda: rerenders.append(1))
+    names = {x.name for x in srv.sent if isinstance(x, m.GuiAddMessage)}
+    assert {"Output Render", "Colormap", "Train Util", "Max Res",
+            "Enable SAM", "Text Prompt", "Threshold", "TopK"} <= names
+    # SAM controls start hidden
+    hidden = {x.name for x in srv.sent
+              if isinstance(x, m.GuiSetHiddenMessage) and x.hidden}
+    assert "Text Prompt" in hidden
+
+    # enabling SAM reveals the group and triggers a rerender
+    srv.sent.clear()
+    srv.handlers[m.GuiUpdateMessage](m.GuiUpdateMessage(name="Enable SAM",
+                                                        value=True))
+    shown = {x.name for x in srv.sent
+             if isinstance(x, m.GuiSetHiddenMessage) and not x.hidden}
+    assert {"Text Prompt", "Threshold", "TopK", "Send"} <= shown
+    assert rerenders
+    assert panel["Enable SAM"] is True
+
+    # value callback
+    got = []
+    panel.on("Threshold", got.append)
+    srv.handlers[m.GuiUpdateMessage](m.GuiUpdateMessage(name="Threshold",
+                                                        value=0.7))
+    assert got == [0.7] and panel["Threshold"] == 0.7
