@@ -169,3 +169,275 @@ dataparser_registry = {
     "dnerf-data": parse_dnerf_data,
     "minimal-parser": parse_minimal_data,
 }
+
+
+@dataclasses.dataclass
+class PhototourismDataparserConfig:
+    """``phototourism_dataparser.py``: COLMAP reconstruction of internet
+    photo collections (variable intrinsics per image)."""
+    data: Path = Path("data/phototourism/brandenburg-gate")
+
+
+def parse_phototourism_data(config: PhototourismDataparserConfig,
+                            split: str = "train") -> DataparserOutputs:
+    from samnerf_tpu.preprocessing import colmap_utils as cu
+    recon = Path(config.data) / "dense" / "sparse"
+    if not recon.exists():
+        recon = Path(config.data)
+    if (recon / "cameras.bin").exists():
+        cams = cu.read_cameras_binary(recon / "cameras.bin")
+        images = cu.read_images_binary(recon / "images.bin")
+    else:
+        cams = cu.read_cameras_text(recon / "cameras.txt")
+        images = cu.read_images_text(recon / "images.txt")
+    fnames, poses, fxs, fys, cxs, cys = [], [], [], [], [], []
+    h = w = None
+    for iid in sorted(images):
+        im = images[iid]
+        rot = cu.qvec2rotmat(im.qvec)
+        w2c = np.eye(4)
+        w2c[:3, :3] = rot
+        w2c[:3, 3] = im.tvec
+        c2w = np.linalg.inv(w2c)
+        c2w[0:3, 1:3] *= -1  # OpenCV -> OpenGL
+        poses.append(c2w.astype(np.float32))
+        cam = cams[im.camera_id]
+        intr, _ = cu._intrinsics(cam)
+        fxs.append(intr["fl_x"]); fys.append(intr["fl_y"])
+        cxs.append(intr["cx"]); cys.append(intr["cy"])
+        h, w = cam.height, cam.width
+        fnames.append(Path(config.data) / "dense" / "images" / im.name)
+    poses = np.stack(poses)
+    n = poses.shape[0]
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses[:, :3, :4]),
+        fx=jnp.asarray(np.asarray(fxs, np.float32)[:, None]),
+        fy=jnp.asarray(np.asarray(fys, np.float32)[:, None]),
+        cx=jnp.asarray(np.asarray(cxs, np.float32)[:, None]),
+        cy=jnp.asarray(np.asarray(cys, np.float32)[:, None]),
+        width=int(w), height=int(h))
+    return DataparserOutputs(
+        image_filenames=fnames, cameras=cameras,
+        scene_box_aabb=np.array([[-5, -5, -5], [5, 5, 5]], np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+
+
+@dataclasses.dataclass
+class SDFStudioDataparserConfig:
+    """``sdfstudio_dataparser.py``: meta_data.json with per-frame
+    camtoworld + intrinsics."""
+    data: Path = Path("data/sdfstudio")
+
+
+def parse_sdfstudio_data(config: SDFStudioDataparserConfig,
+                         split: str = "train") -> DataparserOutputs:
+    meta = json.loads((Path(config.data) / "meta_data.json").read_text())
+    fnames, poses = [], []
+    fx = fy = cx = cy = None
+    for frame in meta["frames"]:
+        fnames.append(Path(config.data) / frame["rgb_path"])
+        poses.append(np.array(frame["camtoworld"], np.float32))
+        k = np.array(frame["intrinsics"])
+        fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    poses = np.stack(poses)
+    poses[:, 0:3, 1:3] *= -1  # OpenCV -> OpenGL
+    h = int(meta["height"])
+    w = int(meta["width"])
+    aabb = np.array(meta.get(
+        "scene_box", {}).get("aabb", [[-1, -1, -1], [1, 1, 1]]), np.float32)
+    return DataparserOutputs(
+        image_filenames=fnames,
+        cameras=_make_cameras(poses, fx, fy, cx, cy, h, w),
+        scene_box_aabb=aabb, dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+
+
+@dataclasses.dataclass
+class ScanNetDataparserConfig:
+    """``scannet_dataparser.py``: per-frame pose txt + intrinsic txt."""
+    data: Path = Path("data/scannet/scene0423_02")
+
+
+def parse_scannet_data(config: ScanNetDataparserConfig,
+                       split: str = "train") -> DataparserOutputs:
+    d = Path(config.data)
+    k = np.loadtxt(d / "intrinsic" / "intrinsic_color.txt")
+    pose_files = sorted((d / "pose").glob("*.txt"),
+                        key=lambda p: int(p.stem))
+    fnames, poses = [], []
+    for pf in pose_files:
+        m = np.loadtxt(pf).astype(np.float32)
+        if not np.isfinite(m).all():
+            continue
+        m[0:3, 1:3] *= -1  # OpenCV -> OpenGL
+        poses.append(m)
+        fnames.append(d / "color" / f"{pf.stem}.jpg")
+    poses = np.stack(poses)
+    # probe image size from first color image; scannet color is 1296x968
+    try:
+        from PIL import Image
+        with Image.open(fnames[0]) as im:
+            w, h = im.size
+    except Exception:
+        w, h = 1296, 968
+    return DataparserOutputs(
+        image_filenames=fnames,
+        cameras=_make_cameras(poses, k[0, 0], k[1, 1], k[0, 2], k[1, 2],
+                              h, w),
+        scene_box_aabb=np.array([[-5, -5, -5], [5, 5, 5]], np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+
+
+@dataclasses.dataclass
+class ARKitScenesDataparserConfig:
+    """``arkitscenes_dataparser.py``: lowres_wide traj file + pincam
+    intrinsics."""
+    data: Path = Path("data/arkitscenes/41069021")
+
+
+def parse_arkitscenes_data(config: ARKitScenesDataparserConfig,
+                           split: str = "train") -> DataparserOutputs:
+    d = Path(config.data)
+    traj = (d / "lowres_wide.traj").read_text().splitlines()
+    fnames, poses, fxs, fys, cxs, cys = [], [], [], [], [], []
+    h = w = None
+    for line in traj:
+        p = line.split()
+        if len(p) < 7:
+            continue
+        ts = p[0]
+        # axis-angle rotation + translation (ARKit traj format)
+        rv = np.array([float(x) for x in p[1:4]])
+        t = np.array([float(x) for x in p[4:7]])
+        theta = np.linalg.norm(rv)
+        if theta > 1e-12:
+            kx, ky, kz = rv / theta
+            kmat = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+            rot = (np.eye(3) + np.sin(theta) * kmat
+                   + (1 - np.cos(theta)) * kmat @ kmat)
+        else:
+            rot = np.eye(3)
+        w2c = np.eye(4)
+        w2c[:3, :3] = rot
+        w2c[:3, 3] = t
+        c2w = np.linalg.inv(w2c).astype(np.float32)
+        c2w[0:3, 1:3] *= -1
+        # matching pincam: <ts>.pincam "w h fx fy cx cy"
+        stem = f"{float(ts):.3f}"
+        pincam = d / "lowres_wide_intrinsics" / f"{stem}.pincam"
+        if not pincam.exists():
+            continue
+        vals = [float(x) for x in pincam.read_text().split()]
+        w, h = int(vals[0]), int(vals[1])
+        fxs.append(vals[2]); fys.append(vals[3])
+        cxs.append(vals[4]); cys.append(vals[5])
+        poses.append(c2w)
+        fnames.append(d / "lowres_wide" / f"{stem}.png")
+    poses = np.stack(poses)
+    n = poses.shape[0]
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses[:, :3, :4]),
+        fx=jnp.asarray(np.asarray(fxs, np.float32)[:, None]),
+        fy=jnp.asarray(np.asarray(fys, np.float32)[:, None]),
+        cx=jnp.asarray(np.asarray(cxs, np.float32)[:, None]),
+        cy=jnp.asarray(np.asarray(cys, np.float32)[:, None]),
+        width=int(w), height=int(h))
+    return DataparserOutputs(
+        image_filenames=fnames, cameras=cameras,
+        scene_box_aabb=np.array([[-3, -3, -3], [3, 3, 3]], np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+
+
+@dataclasses.dataclass
+class DycheckDataparserConfig:
+    """``dycheck_dataparser.py``: iPhone dataset (dataset.json +
+    per-frame camera json + metadata times)."""
+    data: Path = Path("data/iphone/mochi-high-five")
+    downscale_factor: int = 1
+
+
+def parse_dycheck_data(config: DycheckDataparserConfig, split: str = "train"):
+    d = Path(config.data)
+    ds = json.loads((d / "dataset.json").read_text())
+    names = ds.get(split + "_ids", ds.get("ids", []))
+    meta = json.loads((d / "metadata.json").read_text()) \
+        if (d / "metadata.json").exists() else {}
+    fnames, poses, times = [], [], []
+    fx = fy = cx = cy = None
+    h = w = None
+    for name in names:
+        cam = json.loads((d / "camera" / f"{name}.json").read_text())
+        rot = np.array(cam["orientation"]).T   # dycheck stores w2c rows
+        pos = np.array(cam["position"])
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = rot
+        c2w[:3, 3] = pos
+        c2w[0:3, 1:3] *= -1
+        poses.append(c2w)
+        fx = fy = float(cam["focal_length"])
+        cx, cy = [float(x) for x in cam["principal_point"]]
+        h, w = [int(x) for x in cam["image_size"][::-1]]
+        fnames.append(d / "rgb" / f"{config.downscale_factor}x"
+                      / f"{name}.png")
+        times.append(float(meta.get(name, {}).get("time_id", 0.0)))
+    poses = np.stack(poses)
+    tmax = max(max(times), 1.0)
+    out = DataparserOutputs(
+        image_filenames=fnames,
+        cameras=_make_cameras(poses, fx, fy, cx, cy, h, w),
+        scene_box_aabb=np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]],
+                                np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+    return out, np.asarray(times, np.float32) / tmax
+
+
+@dataclasses.dataclass
+class Sitcoms3DDataparserConfig:
+    """``sitcoms3d_dataparser.py``: cameras.json with K + c2w per frame."""
+    data: Path = Path("data/sitcoms3d/TBBT-big_living_room")
+
+
+def parse_sitcoms3d_data(config: Sitcoms3DDataparserConfig,
+                         split: str = "train") -> DataparserOutputs:
+    d = Path(config.data)
+    meta = json.loads((d / "cameras.json").read_text())
+    frames = meta["frames"]
+    fnames, poses, fxs, fys, cxs, cys = [], [], [], [], [], []
+    h = w = None
+    for fr in frames:
+        k = np.array(fr["intrinsics"])
+        c2w = np.array(fr["camtoworld"], np.float32)
+        c2w[0:3, 1:3] *= -1
+        poses.append(c2w)
+        fxs.append(k[0, 0]); fys.append(k[1, 1])
+        cxs.append(k[0, 2]); cys.append(k[1, 2])
+        fnames.append(d / "images" / fr["image_name"])
+        h, w = int(k[1, 2] * 2), int(k[0, 2] * 2)
+    poses = np.stack(poses)
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses[:, :3, :4]),
+        fx=jnp.asarray(np.asarray(fxs, np.float32)[:, None]),
+        fy=jnp.asarray(np.asarray(fys, np.float32)[:, None]),
+        cx=jnp.asarray(np.asarray(cxs, np.float32)[:, None]),
+        cy=jnp.asarray(np.asarray(cys, np.float32)[:, None]),
+        width=int(w), height=int(h))
+    return DataparserOutputs(
+        image_filenames=fnames, cameras=cameras,
+        scene_box_aabb=np.asarray(meta.get("aabb", [[-1, -1, -1],
+                                                    [1, 1, 1]]), np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3])
+
+
+dataparser_registry.update({
+    "phototourism-data": parse_phototourism_data,
+    "sdfstudio-data": parse_sdfstudio_data,
+    "scannet-data": parse_scannet_data,
+    "arkitscenes-data": parse_arkitscenes_data,
+    "dycheck-data": parse_dycheck_data,
+    "sitcoms3d-data": parse_sitcoms3d_data,
+})

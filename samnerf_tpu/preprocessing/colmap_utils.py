@@ -102,13 +102,22 @@ def read_cameras_text(path: Path) -> Dict[int, ColmapCamera]:
 
 def read_images_text(path: Path) -> Dict[int, ColmapImage]:
     images = {}
-    lines = [l for l in Path(path).read_text().splitlines()
-             if l and not l.startswith("#")]
-    for i in range(0, len(lines), 2):  # every other line is 2D points
-        p = lines[i].split()
-        images[int(p[0])] = ColmapImage(
-            np.array([float(x) for x in p[1:5]]),
-            np.array([float(x) for x in p[5:8]]), int(p[8]), p[9])
+    # lines alternate (pose, 2D-points); the points line may be EMPTY, so
+    # pair by state rather than filtering blanks and striding by 2
+    expecting_pose = True
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("#"):
+            continue
+        if expecting_pose:
+            if not line.strip():
+                continue
+            p = line.split()
+            images[int(p[0])] = ColmapImage(
+                np.array([float(x) for x in p[1:5]]),
+                np.array([float(x) for x in p[5:8]]), int(p[8]), p[9])
+            expecting_pose = False
+        else:
+            expecting_pose = True
     return images
 
 

@@ -69,3 +69,71 @@ def test_registry_names():
     assert set(dpe.dataparser_registry) >= {
         "nerfstudio-data", "blender-data", "instant-ngp-data", "dnerf-data",
         "minimal-parser"}
+
+
+def test_phototourism_parser(tmp_path):
+    # reuse the synthetic COLMAP text model
+    (tmp_path / "cameras.txt").write_text(
+        "1 PINHOLE 64 48 50.0 51.0 32.0 24.0\n")
+    (tmp_path / "images.txt").write_text(
+        "1 1 0 0 0 0.0 0.0 1.0 1 img.png\n\n2 1 0 0 0 0.0 0.0 2.0 1 i2.png\n\n")
+    out = dpe.parse_phototourism_data(
+        dpe.PhototourismDataparserConfig(data=tmp_path), "train")
+    assert out.cameras.num_cameras == 2
+    import numpy as _np
+    assert _np.asarray(out.cameras.fx).shape == (2, 1)
+
+
+def test_sdfstudio_parser(tmp_path):
+    meta = {"height": 48, "width": 64,
+            "frames": [{"rgb_path": "rgb/0.png",
+                        "camtoworld": np.eye(4).tolist(),
+                        "intrinsics": [[50, 0, 32, 0], [0, 50, 24, 0],
+                                       [0, 0, 1, 0], [0, 0, 0, 1]]}]}
+    (tmp_path / "meta_data.json").write_text(json.dumps(meta))
+    out = dpe.parse_sdfstudio_data(
+        dpe.SDFStudioDataparserConfig(data=tmp_path), "train")
+    assert out.cameras.num_cameras == 1
+
+
+def test_scannet_parser(tmp_path):
+    (tmp_path / "intrinsic").mkdir()
+    (tmp_path / "pose").mkdir()
+    (tmp_path / "color").mkdir()
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_color.txt", np.eye(4) * 500)
+    for i in range(2):
+        np.savetxt(tmp_path / "pose" / f"{i}.txt", np.eye(4))
+    out = dpe.parse_scannet_data(
+        dpe.ScanNetDataparserConfig(data=tmp_path), "train")
+    assert out.cameras.num_cameras == 2
+
+
+def test_sitcoms3d_parser(tmp_path):
+    meta = {"frames": [{"intrinsics": [[100, 0, 64], [0, 100, 48], [0, 0, 1]],
+                        "camtoworld": np.eye(4).tolist(),
+                        "image_name": "f0.png"}],
+            "aabb": [[-2, -2, -2], [2, 2, 2]]}
+    (tmp_path / "cameras.json").write_text(json.dumps(meta))
+    out = dpe.parse_sitcoms3d_data(
+        dpe.Sitcoms3DDataparserConfig(data=tmp_path), "train")
+    assert out.cameras.num_cameras == 1
+    assert out.scene_box_aabb[1][0] == 2
+
+
+def test_dycheck_parser(tmp_path):
+    (tmp_path / "camera").mkdir()
+    ds = {"train_ids": ["0_00000"]}
+    (tmp_path / "dataset.json").write_text(json.dumps(ds))
+    cam = {"orientation": np.eye(3).tolist(), "position": [0, 0, 1],
+           "focal_length": 100.0, "principal_point": [32, 24],
+           "image_size": [64, 48]}
+    (tmp_path / "camera" / "0_00000.json").write_text(json.dumps(cam))
+    out, times = dpe.parse_dycheck_data(
+        dpe.DycheckDataparserConfig(data=tmp_path), "train")
+    assert out.cameras.num_cameras == 1 and times.shape == (1,)
+
+
+def test_full_registry():
+    assert set(dpe.dataparser_registry) >= {
+        "phototourism-data", "sdfstudio-data", "scannet-data",
+        "arkitscenes-data", "dycheck-data", "sitcoms3d-data"}
