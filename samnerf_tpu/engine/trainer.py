@@ -50,6 +50,7 @@ class TrainerConfig:
     save_only_latest_checkpoint: bool = True
     output_dir: Path = Path("outputs")
     load_dir: Optional[Path] = None
+    load_step: Optional[int] = None
     log_every: int = 100
     seed: int = 42
     use_device_data: bool = True
@@ -202,6 +203,20 @@ class Trainer:
         self._rng = jax.random.PRNGKey(trainer_cfg.seed + 1)
         self.metrics_history = []
 
+        # resume (reference _load_checkpoint, trainer.py:357-376)
+        if trainer_cfg.load_dir is not None:
+            ckpts = sorted(Path(trainer_cfg.load_dir).glob("step-*"))
+            if not ckpts:
+                raise FileNotFoundError(
+                    f"no checkpoints under {trainer_cfg.load_dir}")
+            if trainer_cfg.load_step is not None:
+                path = (Path(trainer_cfg.load_dir)
+                        / f"step-{trainer_cfg.load_step:09d}")
+            else:
+                path = ckpts[-1]
+            self.load_checkpoint(path)
+            print(f"resumed from {path} at step {int(self.state.step)}")
+
     def train_iteration(self, step: int) -> Dict[str, float]:
         batch = self.datamanager.next_train(step)
         self._rng, key = jax.random.split(self._rng)
@@ -214,8 +229,9 @@ class Trainer:
         num_rays = self.datamanager.config.train_num_rays_per_batch
         block = (self.cfg.steps_per_dispatch
                  if self._fused_step is not None else 1)
-        step = 0
-        next_save = self.cfg.steps_per_save
+        step = int(self.state.step)   # resume-aware
+        next_save = ((step // self.cfg.steps_per_save) + 1) * \
+            self.cfg.steps_per_save
         while step < self.cfg.max_num_iterations:
             n = min(block, self.cfg.max_num_iterations - step)
             self._rng, key = jax.random.split(self._rng)
@@ -253,9 +269,11 @@ class Trainer:
             return
         import orbax.checkpoint as ocp
         path = self._ckpt_dir() / f"step-{step:09d}"
+        # store the loop step explicitly (reference writes {step, ...},
+        # trainer.py:379-406) — state.step can lag when saving mid-loop
         ckpt = {"params": jax.device_get(self.state.params),
                 "opt_state": jax.device_get(self.state.opt_state),
-                "step": int(self.state.step),
+                "step": int(step),
                 "steps_since_update": int(self.state.steps_since_update)}
         with ocp.StandardCheckpointer() as saver:
             saver.save(path.absolute(), ckpt, force=True)

@@ -61,7 +61,7 @@ def test_checkpoint_roundtrip(trainer):
     trainer.save_checkpoint(999)
     ckpts = sorted(trainer._ckpt_dir().glob("step-*"))
     assert len(ckpts) >= 1
-    step_before = int(trainer.state.step)
+    step_before = 999  # the ckpt stores the loop step it was saved at
     p_before = jax.device_get(trainer.state.params)
     trainer.state = trainer.state.replace(
         params=jax.tree.map(jnp.zeros_like, trainer.state.params))
@@ -70,3 +70,20 @@ def test_checkpoint_roundtrip(trainer):
     for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(trainer.state.step) == step_before
+
+
+def test_resume_from_load_dir(trainer, tmp_path):
+    """load_dir restores the latest checkpoint and train() continues from
+    its step (reference trainer.py:357-376)."""
+    import dataclasses
+    from samnerf_tpu.engine.trainer import Trainer, TrainerConfig
+    tr = trainer
+    tr.save_checkpoint(7)
+    # save_only_latest pruning keeps the highest step present
+    latest = sorted(tr._ckpt_dir().glob("step-*"))[-1]
+    expect = int(latest.name.split("-")[1])
+    cfg2 = dataclasses.replace(
+        tr.cfg, load_dir=tr._ckpt_dir(),
+        max_num_iterations=expect + 1)
+    tr2 = Trainer(tr.model_cfg, cfg2, GROUPS, tr.datamanager)
+    assert int(tr2.state.step) == expect
