@@ -311,7 +311,7 @@ def parity_hash_encode_ref(table: jax.Array, positions: jax.Array,
 # --- public custom-vjp op -----------------------------------------------------
 
 
-def _pick_tile(n: int, cap: int = 128) -> int:
+def _pick_tile(n: int, cap: int = 256) -> int:
     """Largest power-of-two tile <= cap dividing n (n is a multiple of 128).
 
     The table block has a trivial window (constant index map), so Mosaic
