@@ -40,3 +40,18 @@ def patch_center_indices(indices: np.ndarray, patch_size: int) -> np.ndarray:
     ps = patch_size
     patches = indices.reshape(-1, ps, ps, 3)
     return patches[:, ps // 2, ps // 2, :]
+
+
+def sample_equirectangular(rng: np.random.Generator, batch_size: int,
+                           num_images: int, height: int,
+                           width: int) -> np.ndarray:
+    """Equirectangular sampling (``pixel_samplers.py:205-245``): rows drawn
+    with cos-latitude weighting (inverse-CDF of sin) so poles are not
+    oversampled; columns uniform."""
+    imgs = rng.integers(0, num_images, batch_size)
+    # phi in [0, pi] with p(phi) ∝ sin(phi): phi = acos(1 - 2u)
+    u = rng.random(batch_size)
+    rows = np.floor(np.arccos(1.0 - 2.0 * u) / np.pi * height).astype(np.int64)
+    rows = np.clip(rows, 0, height - 1)
+    cols = rng.integers(0, width, batch_size)
+    return np.stack([imgs, rows, cols], axis=-1).astype(np.int32)

@@ -125,3 +125,17 @@ def test_datamanager_batches(scene):
     assert set(np.unique(batch["sam"])) <= {-1.0, 1.0}
     ev = dm.eval_image_batch(0)
     assert ev["image"].shape == (32, 48, 3)
+
+
+def test_equirectangular_pixel_sampler():
+    import numpy as np
+    from samnerf_tpu.data.pixel_samplers import sample_equirectangular
+    rng = np.random.default_rng(0)
+    idx = sample_equirectangular(rng, 20000, 2, 100, 200)
+    assert idx.shape == (20000, 3)
+    assert idx[:, 1].min() >= 0 and idx[:, 1].max() < 100
+    # equator rows should be sampled more than polar rows
+    rows = idx[:, 1]
+    polar = ((rows < 10) | (rows >= 90)).mean()
+    equator = ((rows >= 45) & (rows < 55)).mean()
+    assert equator > polar
