@@ -40,6 +40,32 @@ class DataManagerConfig:
     use_clipseg_feature: bool = False
 
 
+def _load_images_batch(paths, downscale: int):
+    """Decode a whole split with the native C++ thread-pool loader
+    (``samnerf_tpu/native``); None -> caller falls back to per-image PIL."""
+    try:
+        from PIL import Image
+        from samnerf_tpu.native import decode_images
+    except Exception:
+        return None
+    resolved = []
+    for path in paths:
+        path = Path(path)
+        if downscale > 1:
+            cand = (path.parent.parent
+                    / f"{path.parent.name}_{downscale}" / path.name)
+            if cand.exists():
+                path = cand
+        resolved.append(path)
+    with Image.open(resolved[0]) as im:
+        w, h = im.size
+    d = 1
+    if downscale > 1 and "images_" not in resolved[0].parent.name:
+        d = downscale
+        h, w = h // d, w // d
+    return decode_images(resolved, h, w, downscale=d)
+
+
 def _load_image(path: Path, downscale: int) -> np.ndarray:
     """uint8 [H, W, 3]; honors nerfstudio's ``images_<d>/`` convention."""
     from PIL import Image
@@ -70,10 +96,15 @@ class DataManager:
 
         if load_images:
             df = self.train_outputs.downscale_factor
-            self.images = np.stack(
-                [_load_image(p, df) for p in self.train_outputs.image_filenames])
-            self.eval_images = np.stack(
-                [_load_image(p, df) for p in self.eval_outputs.image_filenames])
+
+            def load_split(fnames):
+                batch = _load_images_batch(fnames, df)
+                if batch is not None:
+                    return batch
+                return np.stack([_load_image(p, df) for p in fnames])
+
+            self.images = load_split(self.train_outputs.image_filenames)
+            self.eval_images = load_split(self.eval_outputs.image_filenames)
         else:
             self.images = None
             self.eval_images = None

@@ -1,0 +1,63 @@
+"""Native C++ image loader: build, correctness vs PIL, datamanager path."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from samnerf_tpu import native
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    arrays = []
+    for i in range(6):
+        img = rng.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+        p = d / f"im{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        arrays.append(img)
+    return paths, np.stack(arrays)
+
+
+def test_native_build_and_png_exact(images):
+    paths, ref = images
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    out = native.decode_images(paths, 64, 96)
+    assert out is not None
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_native_downscale_box(images):
+    paths, ref = images
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    out = native.decode_images(paths[:2], 32, 48, downscale=2)
+    # box average reference
+    r = ref[:2].reshape(2, 32, 2, 48, 2, 3).astype(int).mean(axis=(2, 4))
+    assert np.abs(out.astype(int) - r).max() <= 1  # integer truncation
+
+
+def test_native_failure_returns_none(tmp_path):
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    bad = tmp_path / "nope.png"
+    bad.write_bytes(b"not an image")
+    assert native.decode_images([bad], 8, 8) is None
+
+
+def test_datamanager_uses_native_path(tmp_path):
+    from samnerf_tpu.data.datamanager import _load_images_batch
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(3):
+        img = rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    out = _load_images_batch(paths, downscale=1)
+    if out is None:
+        pytest.skip("native loader unavailable")
+    assert out.shape == (3, 16, 16, 3)
