@@ -58,3 +58,26 @@ def jax_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class DeviceTrace:
+    """Context manager around ``jax.profiler`` (the TPU-side complement of
+    the wall-clock decorator profiler; SURVEY section 5 'tracing').
+
+    with DeviceTrace("/tmp/trace"):
+        train_step(...)
+    then inspect with xprof/tensorboard.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = str(log_dir)
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
