@@ -86,6 +86,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention_relpos(q: jax.Array, k: jax.Array, v: jax.Array,
                            rel_h: jax.Array, rel_w: jax.Array,
                            scale: float,
@@ -98,7 +99,16 @@ def flash_attention_relpos(q: jax.Array, k: jax.Array, v: jax.Array,
         scale: softmax scale applied to q.
     Returns:
         [B, N, D].
+
+    Differentiable: the backward pass recomputes through the plain-XLA
+    reference (the encoder is frozen in every samnerf pipeline, so the
+    bwd is only exercised by fine-tuning workloads; a fused bwd kernel
+    is not worth its VMEM budget for that).
     """
+    return _flash_fwd_impl(q, k, v, rel_h, rel_w, scale, block_q, block_k)
+
+
+def _flash_fwd_impl(q, k, v, rel_h, rel_w, scale, block_q, block_k):
     b, n, d = q.shape
     kh = rel_h.shape[-1]
     kw = rel_w.shape[-1]
@@ -124,6 +134,22 @@ def flash_attention_relpos(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
     )(q, k, v, rel_h, rel_w)
+
+
+def _flash_fwd_rule(q, k, v, rel_h, rel_w, scale, block_q, block_k):
+    out = _flash_fwd_impl(q, k, v, rel_h, rel_w, scale, block_q, block_k)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, res, g):
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda *a: reference_attention_relpos(*a, scale), q, k, v, rel_h,
+        rel_w)
+    return vjp(g)
+
+
+flash_attention_relpos.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def reference_attention_relpos(q, k, v, rel_h, rel_w, scale):

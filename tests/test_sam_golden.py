@@ -251,3 +251,79 @@ def test_mask_decoder_parity(ref):
                                rtol=5e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(j_iou), t_iou.numpy(),
                                rtol=5e-4, atol=1e-4)
+
+
+def test_predictor_set_feature_end_to_end_parity(ref):
+    """Full view-time decode path vs the reference: rendered embedding in
+    via set_feature, click prompt, mask out (``predictor.py:100-127`` +
+    ``:254-281`` + ``sam.py postprocess_masks``), at the real SAM sizes."""
+    from samnerf_tpu.perception.sam.build_sam import (build_sam,
+                                                      convert_torch_state_dict)
+    from samnerf_tpu.perception.sam.predictor import SamPredictor
+
+    torch.manual_seed(3)
+    t_pe = ref["prompt_encoder"].PromptEncoder(
+        embed_dim=256, image_embedding_size=(64, 64),
+        input_image_size=(1024, 1024), mask_in_chans=16)
+    t_tr = ref["transformer"].TwoWayTransformer(depth=2, embedding_dim=256,
+                                                mlp_dim=2048, num_heads=8)
+    t_md = ref["mask_decoder"].MaskDecoder(
+        transformer_dim=256, transformer=t_tr, num_multimask_outputs=3,
+        iou_head_depth=3, iou_head_hidden_dim=256)
+    t_pe.eval(); t_md.eval()
+
+    sd = {**_prefix_sd(t_pe, "prompt_encoder"),
+          **_prefix_sd(t_md, "mask_decoder"),
+          # encoder params unused on the set_feature path; minimal stubs
+          "image_encoder.pos_embed": torch.zeros(1, 1, 1, 1),
+          "image_encoder.patch_embed.proj.weight": torch.zeros(1, 1, 1, 1),
+          "image_encoder.patch_embed.proj.bias": torch.zeros(1),
+          "image_encoder.neck.0.weight": torch.zeros(1, 1, 1, 1),
+          "image_encoder.neck.1.weight": torch.zeros(1),
+          "image_encoder.neck.1.bias": torch.zeros(1),
+          "image_encoder.neck.2.weight": torch.zeros(1, 1, 1, 1),
+          "image_encoder.neck.3.weight": torch.zeros(1),
+          "image_encoder.neck.3.bias": torch.zeros(1)}
+    params = convert_torch_state_dict(sd, depth=0)
+    for k in ("pos_embed", "patch_embed", "neck_conv1", "neck_ln1",
+              "neck_conv2", "neck_ln2"):
+        params["image_encoder"].pop(k, None)
+
+    sam, _ = build_sam("vit_b")
+    pred = SamPredictor(sam, {"params": params})
+
+    h, w = 512, 512
+    feat = np.random.RandomState(4).randn(64, 64, 256).astype(np.float32)
+    pred.set_feature(jnp.asarray(feat), original_image_size=(h, w))
+    click = np.array([[200.0, 256.0]])
+    ours_masks, ours_iou, ours_low = pred.predict(
+        point_coords=click, point_labels=np.array([1]),
+        multimask_output=False)
+
+    # reference flow (predictor.py:254-281) on the same inputs
+    with torch.no_grad():
+        tfeat = torch.from_numpy(feat.transpose(2, 0, 1))[None]  # [1,256,64,64]
+        coords = torch.from_numpy(
+            (click * (1024.0 / max(h, w))).astype(np.float32))[None]
+        labels = torch.from_numpy(np.array([[1]], np.int32))
+        sparse, dense = t_pe(points=(coords, labels), boxes=None, masks=None)
+        low_res, iou = t_md(
+            image_embeddings=tfeat, image_pe=t_pe.get_dense_pe(),
+            sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
+            multimask_output=False)
+        import torch.nn.functional as F
+        up = F.interpolate(low_res, (1024, 1024), mode="bilinear",
+                           align_corners=False)[..., :1024, :1024]
+        ref_masks = F.interpolate(up, (h, w), mode="bilinear",
+                                  align_corners=False)[0] > 0.0
+
+    ref_np = ref_masks.numpy()
+    inter = np.logical_and(ours_masks, ref_np).sum()
+    union = np.logical_or(ours_masks, ref_np).sum()
+    miou = inter / max(union, 1)
+    # our predictor bucket-pads prompts with not-a-point labels (the same
+    # convention as the reference's ONNX wrapper, ``utils/onnx.py``); the
+    # extra tokens shift attention slightly, so with RANDOM weights the
+    # masks agree to ~0.97 mIoU. The BASELINE target is >= 0.95.
+    assert miou > 0.95, miou
+    np.testing.assert_allclose(ours_iou, iou[0].numpy(), rtol=0.2, atol=0.1)
