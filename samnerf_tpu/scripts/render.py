@@ -1,0 +1,84 @@
+"""Render a camera path from a trained checkpoint.
+
+Reference: ``scripts/render.py`` (RenderTrajectory) — loads a run via
+eval_setup and writes frames/video along an orbit or a saved camera
+path.  Video encoding is delegated to PNG frames (+ ffmpeg if present),
+matching the reference's imageio/ffmpeg split.
+
+Usage:
+    python -m samnerf_tpu.scripts.render <run_dir> --output frames/ \
+        [--num-frames 60] [--width 512 --height 512] [--orbit-radius 1.5]
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def orbit_c2w(theta: float, radius: float, height: float = 0.3,
+              target=np.zeros(3)) -> np.ndarray:
+    """Simple orbit used by the reference's debug video
+    (``samnerf/sam_pipeline.py:36-40`` get_c2w_t)."""
+    position = np.array([radius * np.cos(theta), radius * np.sin(theta),
+                         height])
+    forward = target - position
+    forward = forward / np.linalg.norm(forward)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4)[:3]
+    c2w[:, 0] = right
+    c2w[:, 1] = true_up
+    c2w[:, 2] = -forward
+    c2w[:, 3] = position
+    return c2w
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--output", default="renders")
+    ap.add_argument("--num-frames", type=int, default=60)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--orbit-radius", type=float, default=1.5)
+    ap.add_argument("--fov-deg", type=float, default=60.0)
+    args = ap.parse_args(argv)
+
+    from PIL import Image
+
+    from samnerf_tpu.core.cameras import Cameras
+    from samnerf_tpu.engine.eval_render import ImageRenderer
+    from samnerf_tpu.utils.eval_utils import eval_setup
+
+    import jax.numpy as jnp
+
+    trainer, config = eval_setup(Path(args.run_dir))
+    renderer = ImageRenderer(trainer.model)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    focal = 0.5 * args.width / np.tan(np.deg2rad(args.fov_deg) / 2)
+    for i in range(args.num_frames):
+        theta = 2 * np.pi * i / args.num_frames
+        c2w = orbit_c2w(theta, args.orbit_radius)
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2w[None], jnp.float32),
+            fx=jnp.asarray([[focal]]), fy=jnp.asarray([[focal]]),
+            cx=jnp.asarray([[args.width / 2.0]]),
+            cy=jnp.asarray([[args.height / 2.0]]),
+            width=args.width, height=args.height)
+        out = renderer.render_image(trainer.state.params, cams, 0,
+                                    width=args.width, height=args.height)
+        img = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(out_dir / f"frame_{i:05d}.png")
+        print(f"frame {i + 1}/{args.num_frames}", end="\r")
+    print(f"\nwrote {args.num_frames} frames to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
