@@ -19,7 +19,15 @@ from samnerf_tpu.core.lie_groups import (exp_map_SE3, exp_map_SO3xR3,
 
 
 class CameraOptimizer(nn.Module):
-    """mode: "off" | "SO3xR3" | "SE3" (``camera_optimizers.py:46``)."""
+    """mode: "off" | "SO3xR3" | "SE3" (``camera_optimizers.py:46``).
+
+    Limitation: the hash encodings in ``ops/encodings.py`` deliberately
+    return zero gradients w.r.t. positions (matching samnerf's detach), so
+    pose gradients flow only through ray *directions* and the density
+    field's view-dependent terms — weaker than the reference's full
+    position gradient. If pose optimization underperforms, use the
+    frequency encodings or enable position grads in the hash encode.
+    """
 
     num_cameras: int
     mode: str = "off"

@@ -75,7 +75,14 @@ def _load_image(path: Path, downscale: int) -> np.ndarray:
         if cand.exists():
             path = cand
     img = Image.open(path)
-    img = img.convert("RGB")
+    if img.mode in ("RGBA", "LA", "PA") or (
+            img.mode == "P" and "transparency" in img.info):
+        # composite over white — the reference's blender alpha_color default
+        rgba = img.convert("RGBA")
+        bg = Image.new("RGBA", rgba.size, (255, 255, 255, 255))
+        img = Image.alpha_composite(bg, rgba).convert("RGB")
+    else:
+        img = img.convert("RGB")
     if downscale > 1 and "images_" not in str(path.parent.name):
         img = img.resize((img.width // downscale, img.height // downscale),
                          Image.BILINEAR)
@@ -161,6 +168,17 @@ class DataManager:
         if self.clipseg_loader is not None:
             batch["clipseg"] = self.clipseg_loader(indices)
         return batch
+
+    def next_eval(self, step: int) -> Dict[str, np.ndarray]:
+        """One eval ray batch (rgb targets only — the reference's eval path,
+        ``base_pipeline.py:280-304``, also draws plain pixels; feature maps
+        exist for the train split only, ``samnerf/datamanager.py:49-95``)."""
+        h, w = self.eval_cameras.height, self.eval_cameras.width
+        indices = sample_uniform(self.rng, self.config.eval_num_rays_per_batch,
+                                 self.eval_cameras.num_cameras, h, w)
+        image = (self.eval_images[indices[:, 0], indices[:, 1], indices[:, 2]]
+                 .astype(np.float32) / 255.0)
+        return {"indices": indices, "image": image}
 
     def eval_image_batch(self, image_index: int) -> Dict[str, np.ndarray]:
         h, w = self.eval_cameras.height, self.eval_cameras.width

@@ -39,6 +39,7 @@ class VanillaPipeline:
                                           datamanager.eval_cameras)
         self.renderer = ImageRenderer(model)
         self._loss_fn = jax.jit(self._losses)
+        self._eval_loss_fn = jax.jit(self._eval_losses)
 
     # --- train (base_pipeline.py:256-279) -----------------------------------
     def _losses(self, params, batch, rng):
@@ -60,18 +61,31 @@ class VanillaPipeline:
                                rng)
         return losses
 
+    def _eval_losses(self, params, batch, rng):
+        bundle = generate_rays(self._eval_cameras,
+                               jnp.asarray(batch["indices"][:, 0]),
+                               jnp.asarray(batch["indices"][:, 1:],
+                                           jnp.float32))
+        outputs = self.model.apply(params, bundle, rng=rng, train=False,
+                                   get_features=())
+        return sam_model_lib.get_loss_dict(self.model_cfg, outputs, batch)
+
     def get_eval_loss_dict(self, params, step: int,
                            rng: Optional[jax.Array] = None):
-        # the reference draws an eval ray batch the same way (:280-304)
-        return self.get_train_loss_dict(params, step, rng)
+        """Eval ray batch drawn from the eval split (``base_pipeline.py:280-304``;
+        rgb targets only — feature maps exist for the train split)."""
+        if getattr(self.datamanager, "eval_images", None) is None:
+            return self.get_train_loss_dict(params, step, rng)
+        batch = self.datamanager.next_eval(step)
+        rng = rng if rng is not None else jax.random.PRNGKey(step)
+        return self._eval_loss_fn(
+            params, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
 
     # --- eval image (base_pipeline.py:306-364, sam_pipeline.py:54-138) ------
     def get_eval_image_metrics_and_images(self, params, image_index: int = 0
                                           ) -> Tuple[Dict, Dict]:
         batch = self.datamanager.eval_image_batch(image_index)
         h, w = batch["image"].shape[:2]
-        cam_idx = self.datamanager.num_train_images + image_index \
-            if self._eval_cameras is self._cameras else image_index
         out = self.renderer.render_image(params, self._eval_cameras,
                                          image_index, width=w, height=h)
         gt = jnp.asarray(batch["image"], jnp.float32)

@@ -88,8 +88,16 @@ def visible_mask(prompts_2d: np.ndarray, prompts_3d: np.ndarray,
     rays_d = coords @ rotation.T
     rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = c2w[:3, 3][None]
-    ratios = (prompts_3d - rays_o) / rays_d
-    ts = ratios.min(axis=-1) if t_reduce == "min" else ratios.mean(axis=-1)
+    # per-axis t = (p-o)/d; components with d≈0 are ill-conditioned (0/0 ->
+    # NaN propagating through min) so they are masked out of the reduce
+    valid = np.abs(rays_d) > 1e-8
+    safe_d = np.where(valid, rays_d, 1.0)
+    ratios = (prompts_3d - rays_o) / safe_d
+    if t_reduce == "min":
+        ts = np.where(valid, ratios, np.inf).min(axis=-1)
+    else:
+        cnt = np.maximum(valid.sum(axis=-1), 1)
+        ts = np.where(valid, ratios, 0.0).sum(axis=-1) / cnt
     d = depth[prompts_2d[:, 1].astype(np.int64),
               prompts_2d[:, 0].astype(np.int64)]
     return ts < (d + EPS)

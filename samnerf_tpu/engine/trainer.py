@@ -224,14 +224,66 @@ class Trainer:
                                                batch, key)
         return metrics
 
+    @staticmethod
+    def _crossed(step: int, n: int, every: int) -> bool:
+        """Did [step-n, step) cross a multiple of ``every``? (fused dispatch
+        advances ``n`` steps at a time, so ``step % every == 0`` would skip.)"""
+        return every > 0 and (step // every) != ((step - n) // every)
+
+    def _pipeline(self):
+        """Lazily built eval pipeline (reference keeps one pipeline for both
+        loops; our train step is pipeline-free, so eval gets its own)."""
+        if getattr(self, "_pipeline_obj", None) is None:
+            from samnerf_tpu.engine.pipeline import VanillaPipeline
+            self._pipeline_obj = VanillaPipeline(
+                self.model, self.model_cfg, self.datamanager,
+                get_features=self.get_features)
+        return self._pipeline_obj
+
+    def eval_iteration(self, step: int, n: int = 1):
+        """In-training eval cadence (reference ``trainer.py:442-477``):
+        eval-batch loss every ``steps_per_eval_batch``, a full eval image with
+        PSNR/SSIM every ``steps_per_eval_image``; both feed the writer."""
+        from samnerf_tpu.utils import writer
+        if self.datamanager.eval_images is None:
+            return
+        if self._crossed(step, n, self.cfg.steps_per_eval_batch):
+            self._rng, key = jax.random.split(self._rng)
+            losses = self._pipeline().get_eval_loss_dict(
+                self.state.params, step, key)
+            losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+            writer.put_scalar("Eval Loss", sum(losses.values()), step)
+            writer.put_dict("Eval Loss Dict", losses, step)
+        if self._crossed(step, n, self.cfg.steps_per_eval_image):
+            n_eval = self.datamanager.eval_cameras.num_cameras
+            idx = (step // self.cfg.steps_per_eval_image) % max(n_eval, 1)
+            t0 = time.time()
+            metrics, images = (self._pipeline()
+                               .get_eval_image_metrics_and_images(
+                                   self.state.params, idx))
+            dt = max(time.time() - t0, 1e-9)
+            writer.put_scalar(writer.EventName.CURR_TEST_PSNR,
+                              metrics["psnr"], step)
+            writer.put_time(writer.EventName.TEST_RAYS_PER_SEC,
+                            metrics["num_rays"] / dt, step,
+                            avg_over_steps=False)
+            writer.put_dict("Eval Images Metrics", metrics, step)
+            for name, img in images.items():
+                writer.put_image(f"Eval Images/{name}", np.asarray(img), step)
+            self.metrics_history.append((step, dict(metrics)))
+
     def train(self, step_callback: Optional[Callable[[int, Dict], None]] = None):
-        t0 = time.time()
+        from samnerf_tpu.utils import writer
         num_rays = self.datamanager.config.train_num_rays_per_batch
         block = (self.cfg.steps_per_dispatch
                  if self._fused_step is not None else 1)
         step = int(self.state.step)   # resume-aware
         next_save = ((step // self.cfg.steps_per_save) + 1) * \
             self.cfg.steps_per_save
+        last_saved = None
+        # rays/s measured from after the first dispatch so compile time
+        # doesn't pollute the number (round-1 weak #10)
+        warm_step, warm_t, t_prev = None, None, time.time()
         while step < self.cfg.max_num_iterations:
             n = min(block, self.cfg.max_num_iterations - step)
             self._rng, key = jax.random.split(self._rng)
@@ -242,20 +294,40 @@ class Trainer:
             else:
                 metrics = self.train_iteration(step)
                 step += 1
-            if (step - 1) // max(self.cfg.log_every, 1) != \
-                    (step - 1 - n) // max(self.cfg.log_every, 1) or \
+            if warm_step is None:
+                jax.block_until_ready(metrics["total_loss"])
+                warm_step, warm_t = step, time.time()
+            now = time.time()
+            writer.put_time(writer.EventName.ITER_TRAIN_TIME,
+                            (now - t_prev) / n, step)
+            if step > warm_step:
+                rays_per_sec = num_rays * (step - warm_step) / \
+                    max(now - warm_t, 1e-9)
+                writer.put_time(writer.EventName.RAYS_PER_SEC, rays_per_sec,
+                                step)
+            t_prev = now
+            if self._crossed(step, n, max(self.cfg.log_every, 1)) or \
                     step >= self.cfg.max_num_iterations:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                dt = time.time() - t0
-                rays_per_sec = num_rays * step / max(dt, 1e-9)
+                rate = (f"rays/s={num_rays * (step - warm_step) / max(time.time() - warm_t, 1e-9):,.0f}"
+                        if step > warm_step else "rays/s=warmup")
                 print(f"step {step}: loss={m['total_loss']:.5f} "
-                      f"psnr={m['psnr']:.2f} rays/s={rays_per_sec:,.0f}")
+                      f"psnr={m['psnr']:.2f} {rate}")
+                writer.put_dict("Train Loss Dict", m, step)
                 self.metrics_history.append((step, m))
+            self.eval_iteration(step, n)
+            writer.write_out_storage()
             if step_callback is not None:
                 step_callback(step, metrics)
             if step >= next_save:
                 self.save_checkpoint(step)
+                last_saved = step
                 next_save += self.cfg.steps_per_save
+        # always save final weights (reference saves after training completes;
+        # round-1 advisor finding: final weights lost when max_num_iterations
+        # is not a multiple of steps_per_save)
+        if last_saved != step:
+            self.save_checkpoint(step)
         return self.state
 
     # --- checkpointing (trainer.py:357-406) -------------------------------

@@ -206,11 +206,16 @@ def get_loss_dict(config: SAMModelConfig, outputs: Dict[str, Any],
     """
     loss_dict = {
         "rgb_loss": jnp.mean((batch["image"] - outputs["rgb"]) ** 2),
-        "interlevel_loss": config.interlevel_loss_mult * loss_ops.interlevel_loss(
-            outputs["weights_list"], outputs["ray_samples_list"]),
-        "distortion_loss": config.distortion_loss_mult * loss_ops.distortion_loss(
-            outputs["weights_list"], outputs["ray_samples_list"]),
     }
+    if "weights_list" in outputs:
+        # proposal losses exist only in training mode (the reference's
+        # get_loss_dict guards these on self.training, nerfacto.py:324-344)
+        loss_dict["interlevel_loss"] = (
+            config.interlevel_loss_mult * loss_ops.interlevel_loss(
+                outputs["weights_list"], outputs["ray_samples_list"]))
+        loss_dict["distortion_loss"] = (
+            config.distortion_loss_mult * loss_ops.distortion_loss(
+                outputs["weights_list"], outputs["ray_samples_list"]))
     if config.distill_sam and "sam" in outputs:
         loss_dict["sam_loss"] = config.sam_loss_weight * loss_ops.masked_feature_mse(
             outputs["sam"], batch["sam"])

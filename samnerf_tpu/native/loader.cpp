@@ -70,14 +70,25 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>& rgb,
   return true;
 }
 
-// Decode one PNG (8/16-bit, gray/rgb/rgba) into rgb [h, w, 3].
+// Decode one PNG (8/16-bit, gray/rgb/rgba) into rgb [h, w, 3]. RGBA is
+// composited over a white background, matching the reference's blender
+// alpha_color default (nerfstudio blender dataparser: image = rgb*a + 1-a).
 bool decode_png(const std::string& path, std::vector<uint8_t>& rgb,
                 int& h, int& w) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -96,15 +107,33 @@ bool decode_png(const std::string& path, std::vector<uint8_t>& rgb,
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  // composite alpha over white (the reference's blender alpha_color)
-  png_set_strip_alpha(png);
   png_read_update_info(png, info);
-  rgb.resize(size_t(h) * w * 3);
+  int channels = png_get_channels(png, info);
+  if (channels != 3 && channels != 4) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> raw(size_t(h) * w * channels);
   std::vector<png_bytep> rows(h);
-  for (int y = 0; y < h; y++) rows[y] = rgb.data() + size_t(y) * w * 3;
+  for (int y = 0; y < h; y++) rows[y] = raw.data() + size_t(y) * w * channels;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(f);
+  rgb.resize(size_t(h) * w * 3);
+  if (channels == 3) {
+    memcpy(rgb.data(), raw.data(), rgb.size());
+  } else {
+    // out = rgb*a + 255*(1-a), rounded
+    const uint8_t* p = raw.data();
+    uint8_t* q = rgb.data();
+    for (size_t i = 0, np = size_t(h) * w; i < np; i++, p += 4, q += 3) {
+      int a = p[3];
+      q[0] = uint8_t((p[0] * a + 255 * (255 - a) + 127) / 255);
+      q[1] = uint8_t((p[1] * a + 255 * (255 - a) + 127) / 255);
+      q[2] = uint8_t((p[2] * a + 255 * (255 - a) + 127) / 255);
+    }
+  }
   return true;
 }
 
@@ -158,7 +187,10 @@ extern "C" int decode_images(const char** paths, int n, unsigned char* out,
       bool ok = ends_with(path, ".png")
                     ? decode_png(path, rgb, h, w)
                     : decode_jpeg(path, rgb, h, w);
-      if (!ok || h < out_h * downscale || w < out_w * downscale) {
+      // Exact-size contract: a decoded image must be exactly
+      // (out_h*downscale, out_w*downscale); anything else is reported so
+      // the caller can fall back to the PIL path (mixed-resolution sets).
+      if (!ok || h != out_h * downscale || w != out_w * downscale) {
         int expect = 0;
         failed.compare_exchange_strong(expect, i + 1);
         return;

@@ -40,6 +40,38 @@ def test_native_downscale_box(images):
     assert np.abs(out.astype(int) - r).max() <= 1  # integer truncation
 
 
+def test_native_rgba_composites_over_white(tmp_path):
+    """RGBA PNGs must train as rgb*a + white*(1-a) (blender alpha_color),
+    matching the PIL fallback exactly."""
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(2)
+    rgba = rng.randint(0, 255, (16, 16, 4), dtype=np.uint8)
+    rgba[:4, :4, 3] = 0       # fully transparent corner -> pure white
+    rgba[4:8, :4, 3] = 255    # fully opaque block -> raw rgb
+    p = tmp_path / "a.png"
+    Image.fromarray(rgba, "RGBA").save(p)
+    out = native.decode_images([p], 16, 16)
+    assert out is not None
+    a = rgba[..., 3:].astype(np.float64) / 255.0
+    expect = np.round(rgba[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
+    np.testing.assert_array_equal(out[0], expect)
+    # PIL fallback path gives the same pixels
+    from samnerf_tpu.data.datamanager import _load_image
+    np.testing.assert_array_equal(_load_image(p, 1), expect)
+
+
+def test_native_size_mismatch_returns_none(tmp_path):
+    """Oversized images must be reported, not silently top-left cropped."""
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "big.png"
+    Image.fromarray(img).save(p)
+    assert native.decode_images([p], 16, 16) is None
+    assert native.decode_images([p], 8, 8, downscale=2) is None
+
+
 def test_native_failure_returns_none(tmp_path):
     if native.get_loader() is None:
         pytest.skip("native toolchain unavailable")

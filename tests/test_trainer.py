@@ -57,6 +57,33 @@ def test_training_improves(trainer):
     assert np.isfinite(m_last["sam_loss"])
 
 
+def test_final_checkpoint_saved(trainer):
+    """train() ran to step 60 with steps_per_save=100000 — the final weights
+    must still land on disk (round-1 advisor finding)."""
+    ckpts = [p.name for p in trainer._ckpt_dir().glob("step-*")]
+    assert "step-000000060" in ckpts
+
+
+def test_eval_cadence_fires(trainer):
+    """steps_per_eval_batch / steps_per_eval_image observably fire
+    (reference Trainer.eval_iteration, trainer.py:442-477)."""
+    import dataclasses
+    from samnerf_tpu.utils import writer
+    trainer.cfg = dataclasses.replace(trainer.cfg, steps_per_eval_batch=10,
+                                      steps_per_eval_image=20)
+    trainer.eval_iteration(10, n=1)      # crosses an eval-batch boundary
+    names = [e["name"] for e in writer._EVENTS]
+    assert "Eval Loss" in names
+    assert "Eval Loss Dict" in names
+    trainer.eval_iteration(20, n=5)      # fused block crossing image boundary
+    names = [e["name"] for e in writer._EVENTS]
+    assert writer.EventName.CURR_TEST_PSNR.value in names
+    assert any(n.startswith("Eval Images/") for n in names)
+    hist_metrics = trainer.metrics_history[-1][1]
+    assert np.isfinite(hist_metrics["psnr"])
+    writer.write_out_storage()           # leave the queue clean
+
+
 def test_checkpoint_roundtrip(trainer):
     trainer.save_checkpoint(999)
     ckpts = sorted(trainer._ckpt_dir().glob("step-*"))
