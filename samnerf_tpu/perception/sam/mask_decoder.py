@@ -69,18 +69,22 @@ class MaskDecoder(nn.Module):
     def __call__(self, image_embeddings: jax.Array, image_pe: jax.Array,
                  sparse_prompt_embeddings: jax.Array,
                  dense_prompt_embeddings: jax.Array,
-                 multimask_output: bool) -> Tuple[jax.Array, jax.Array]:
+                 multimask_output: bool,
+                 sparse_valid: jax.Array | None = None
+                 ) -> Tuple[jax.Array, jax.Array]:
         """image_embeddings [1, h, w, C]; image_pe [1, h, w, C];
         sparse [B, N, C]; dense [B, h, w, C] -> (masks [B, k, 4h, 4w],
-        iou_pred [B, k])."""
+        iou_pred [B, k]).  ``sparse_valid`` [B, N] marks which sparse
+        prompt tokens are real (vs static-bucket padding)."""
         masks, iou_pred = self.predict_masks(
             image_embeddings, image_pe, sparse_prompt_embeddings,
-            dense_prompt_embeddings)
+            dense_prompt_embeddings, sparse_valid)
         sl = slice(1, None) if multimask_output else slice(0, 1)
         return masks[:, sl], iou_pred[:, sl]
 
     def predict_masks(self, image_embeddings, image_pe,
-                      sparse_prompt_embeddings, dense_prompt_embeddings):
+                      sparse_prompt_embeddings, dense_prompt_embeddings,
+                      sparse_valid=None):
         """``mask_decoder.py:112-149``."""
         bs = sparse_prompt_embeddings.shape[0]
         output_tokens = jnp.concatenate(
@@ -89,12 +93,18 @@ class MaskDecoder(nn.Module):
             output_tokens[None], (bs, *output_tokens.shape))
         tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings],
                                  axis=1)
+        token_valid = None
+        if sparse_valid is not None:
+            token_valid = jnp.concatenate(
+                [jnp.ones((bs, 1 + self.num_mask_tokens), bool),
+                 jnp.broadcast_to(sparse_valid,
+                                  (bs, sparse_valid.shape[-1]))], axis=1)
 
         src = jnp.repeat(image_embeddings, bs, axis=0) + dense_prompt_embeddings
         pos_src = jnp.repeat(image_pe, bs, axis=0)
         b, h, w, c = src.shape
 
-        hs, src = self.transformer(src, pos_src, tokens)
+        hs, src = self.transformer(src, pos_src, tokens, token_valid)
         iou_token_out = hs[:, 0, :]
         mask_tokens_out = hs[:, 1:1 + self.num_mask_tokens, :]
 

@@ -123,21 +123,25 @@ class SamPredictor:
         if key not in self._decode:
             has_points = coords is not None
 
-            def fn(params, features, coords, labels, boxes, mask_in):
+            def fn(params, features, coords, labels, boxes, mask_in, nv):
                 points = (coords, labels) if has_points else None
                 return self.model.apply(
                     params, features, points, boxes, mask_in,
-                    multimask_output, method=Sam.decode_masks)
+                    multimask_output, num_valid_points=nv,
+                    method=Sam.decode_masks)
 
             self._decode[key] = jax.jit(fn)
         # None args are baked into the traced jaxpr; the bucket key keeps
-        # retraces bounded across interactive clicking.
+        # retraces bounded across interactive clicking.  num_valid is a
+        # traced scalar, so any real prompt count within a bucket reuses
+        # the same executable while staying numerically exact.
         low_res_masks, iou_pred = self._decode[key](
             self.params, self.features,
             None if coords is None else jnp.asarray(coords),
             None if labels is None else jnp.asarray(labels),
             None if boxes is None else jnp.asarray(boxes),
-            None if mask_in is None else jnp.asarray(mask_in))
+            None if mask_in is None else jnp.asarray(mask_in),
+            None if coords is None else jnp.int32(n))
 
         masks = postprocess_masks(low_res_masks, self.input_size,
                                   self.original_size,

@@ -44,16 +44,40 @@ class Sam(nn.Module):
         return self.prompt_encoder.get_dense_pe()
 
     def decode_masks(self, features: jax.Array, points=None, boxes=None,
-                     mask_input=None, multimask_output: bool = True):
-        """Prompt-encode + mask-decode (``predictor.py:254-273`` flow)."""
+                     mask_input=None, multimask_output: bool = True,
+                     num_valid_points=None):
+        """Prompt-encode + mask-decode (``predictor.py:254-273`` flow).
+
+        ``num_valid_points`` (scalar or [B] int, optional): how many of the
+        supplied points are real.  The remainder are static-bucket padding
+        and get masked out of the decoder attention entirely, making the
+        output exactly equal to the reference's dynamic-count path (which
+        carries n real points + one canonical not-a-point pad token,
+        ``prompt_encoder.py:81-88``)."""
         sparse, dense = self.prompt_encoder(points=points, boxes=boxes,
                                             masks=mask_input)
+        sparse_valid = None
+        if num_valid_points is not None and points is not None:
+            nv = jnp.atleast_1d(jnp.asarray(num_valid_points))[:, None]
+            n_pts = points[0].shape[1]
+            pt_iota = jnp.arange(n_pts)[None, :]
+            if boxes is None:
+                # layout: n_pts points + 1 canonical pad; keep nv + 1
+                valid = jnp.concatenate(
+                    [pt_iota < nv,
+                     jnp.ones((nv.shape[0], 1), bool)], axis=1)
+            else:
+                # layout: n_pts points + 2 box corner tokens
+                valid = jnp.concatenate(
+                    [pt_iota < nv, jnp.ones((nv.shape[0], 2), bool)], axis=1)
+            sparse_valid = valid
         return self.mask_decoder(
             image_embeddings=features,
             image_pe=self.get_dense_pe(),
             sparse_prompt_embeddings=sparse,
             dense_prompt_embeddings=dense,
-            multimask_output=multimask_output)
+            multimask_output=multimask_output,
+            sparse_valid=sparse_valid)
 
     def __call__(self, image: jax.Array, points=None, boxes=None,
                  mask_input=None, multimask_output: bool = True):
@@ -70,6 +94,11 @@ def postprocess_masks(masks: jax.Array, input_size: Tuple[int, int],
     masks: [B, k, H, W] low-res logits (H=W=256).
     """
     b, k = masks.shape[:2]
-    m = jax.image.resize(masks, (b, k, img_size, img_size), method="bilinear")
+    # antialias=False matches torch F.interpolate(..., mode="bilinear",
+    # align_corners=False), which never antialiases; jax.image.resize
+    # antialiases downscales by default, shifting mask boundaries.
+    m = jax.image.resize(masks, (b, k, img_size, img_size), method="bilinear",
+                         antialias=False)
     m = m[..., :input_size[0], :input_size[1]]
-    return jax.image.resize(m, (b, k, *original_size), method="bilinear")
+    return jax.image.resize(m, (b, k, *original_size), method="bilinear",
+                            antialias=False)

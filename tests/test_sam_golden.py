@@ -321,9 +321,40 @@ def test_predictor_set_feature_end_to_end_parity(ref):
     inter = np.logical_and(ours_masks, ref_np).sum()
     union = np.logical_or(ours_masks, ref_np).sum()
     miou = inter / max(union, 1)
-    # our predictor bucket-pads prompts with not-a-point labels (the same
-    # convention as the reference's ONNX wrapper, ``utils/onnx.py``); the
-    # extra tokens shift attention slightly, so with RANDOM weights the
-    # masks agree to ~0.97 mIoU. The BASELINE target is >= 0.95.
-    assert miou > 0.95, miou
-    np.testing.assert_allclose(ours_iou, iou[0].numpy(), rtol=0.2, atol=0.1)
+    # bucket-padded not-a-point tokens are masked out of the decoder
+    # attention (num_valid_points), so padding is numerically invisible
+    # and the decode matches the reference's dynamic-count path exactly.
+    assert miou > 0.999, miou
+    np.testing.assert_allclose(ours_iou, iou[0].numpy(), rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        ours_low[0], low_res[0, 0].numpy(), rtol=5e-3, atol=5e-3)
+
+
+def test_bucket_padding_invariance():
+    """Decoding n=3 points padded into a 16-bucket (num_valid_points=3)
+    must equal decoding the exact 4-token layout (3 + canonical pad).
+    Proves static-bucket padding is numerically invisible."""
+    from samnerf_tpu.perception.sam.build_sam import build_sam
+
+    sam, _ = build_sam("vit_b")
+    feat = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 256))
+    coords3 = jnp.asarray([[[100.0, 200.0], [300.0, 50.0], [512.0, 512.0]]])
+    labels3 = jnp.asarray([[1, 0, 1]], jnp.int32)
+    # init only the decode path (prompt encoder + mask decoder)
+    params = sam.init(jax.random.PRNGKey(0), feat, (coords3, labels3),
+                      None, None, True, method="decode_masks")
+
+    exact = sam.apply(params, feat, (coords3, labels3), None, None, True,
+                      method="decode_masks")
+
+    pad = jnp.zeros((1, 13, 2))
+    coords16 = jnp.concatenate([coords3, pad], axis=1)
+    labels16 = jnp.concatenate(
+        [labels3, -jnp.ones((1, 13), jnp.int32)], axis=1)
+    bucketed = sam.apply(params, feat, (coords16, labels16), None, None, True,
+                         num_valid_points=jnp.int32(3), method="decode_masks")
+
+    np.testing.assert_allclose(np.asarray(bucketed[0]), np.asarray(exact[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bucketed[1]), np.asarray(exact[1]),
+                               rtol=1e-5, atol=1e-5)
