@@ -79,8 +79,8 @@ def main():
                             rgb)
         return (jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-    def serve_frame(click_xy):
-        frame = renderer.render_image_device(params, cameras, 0, W, H,
+    def serve_frame(click_xy, cam):
+        frame = renderer.render_image_device(params, cam, 0, W, H,
                                              features=feats)
         # click -> 1024-frame coords (ResizeLongestSide, square 512^2 view)
         scale = 1024.0 / max(H, W)
@@ -90,10 +90,24 @@ def main():
         labels = jnp.asarray([[1, -1, -1, -1]], jnp.int32)
         return decode_and_compose(dec_params, frame, coords, labels)
 
-    clicks = [(200.0, 256.0), (300.0, 256.0)]
-    out = np.asarray(serve_frame(clicks[0]))   # compile
+    # every timed frame gets a DISTINCT camera pose + click: the axon
+    # tunnel content-caches executions with identical inputs, so repeated
+    # inputs would measure cache replay, not rendering
+    def cam_at(i):
+        ang = 0.02 * i
+        c = np.eye(4)[:3, :4].astype(np.float32)
+        c[0, 3] = 1.5 * np.sin(ang)
+        c[2, 3] = 1.5 * np.cos(ang)
+        return Cameras(
+            camera_to_worlds=jnp.asarray(c[None]),
+            fx=jnp.asarray([[400.0]]), fy=jnp.asarray([[400.0]]),
+            cx=jnp.asarray([[W / 2.0]]), cy=jnp.asarray([[H / 2.0]]),
+            width=W, height=H)
+
+    clicks = [(200.0 + 3.0 * i, 256.0 - 2.0 * i) for i in range(32)]
+    out = np.asarray(serve_frame(clicks[0], cam_at(0)))   # compile
     assert out.shape == (H, W, 3) and out.dtype == np.uint8
-    np.asarray(serve_frame(clicks[1]))
+    np.asarray(serve_frame(clicks[1], cam_at(1)))
 
     # pipelined serving (throughput): submit frame i+1 before fetching
     # frame i so device compute overlaps the host transfer — the same
@@ -101,9 +115,9 @@ def main():
     # render and websocket send (render_state_machine.py:245-319)
     n = 8
     t0 = time.time()
-    pending = serve_frame(clicks[0])
+    pending = serve_frame(clicks[2], cam_at(2))
     for i in range(1, n + 1):
-        nxt = serve_frame(clicks[i % 2]) if i < n else None
+        nxt = serve_frame(clicks[2 + i], cam_at(2 + i)) if i < n else None
         out = np.asarray(pending)
         pending = nxt
     dt = (time.time() - t0) / n

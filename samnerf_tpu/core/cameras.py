@@ -86,7 +86,8 @@ def undistort_coords(coords: jax.Array, distortion: jax.Array,
 
 def generate_rays(cameras: Cameras, camera_indices: jax.Array,
                   coords: jax.Array, pixel_offset: float = 0.5,
-                  camera_opt_to_camera: Optional[jax.Array] = None
+                  camera_opt_to_camera: Optional[jax.Array] = None,
+                  aabb_box: Optional[jax.Array] = None
                   ) -> RayBundle:
     """Generate world-space rays.
 
@@ -96,6 +97,10 @@ def generate_rays(cameras: Cameras, camera_indices: jax.Array,
         coords: [R, 2] float or int (row, col) pixel coords (offset added).
         camera_opt_to_camera: optional [R, 3, 4] learned pose deltas
             (``cameras.py:696-697``).
+        aabb_box: optional [2, 3] crop box (min corner, max corner); sets
+            per-ray near/far from the ray/aabb intersection so models only
+            render inside the box (the reference's viewer crop,
+            ``cameras.py:463-482`` via ``math.intersect_aabb``).
     """
     ci = camera_indices.astype(jnp.int32)
     y = coords[..., 0].astype(jnp.float32) + pixel_offset
@@ -153,11 +158,21 @@ def generate_rays(cameras: Cameras, camera_indices: jax.Array,
     dy = jnp.sqrt(jnp.sum((directions - dirs_world[2]) ** 2, axis=-1))
     pixel_area = (dx * dy)[..., None]
 
+    nears = fars = None
+    if aabb_box is not None:
+        from samnerf_tpu.utils.misc import intersect_aabb
+        t_min, t_max = intersect_aabb(c2w[..., :3, 3], directions,
+                                      aabb_box.reshape(6))
+        nears = t_min          # [..., 1] (keepdims from intersect_aabb)
+        fars = jnp.maximum(t_max, t_min)
+
     return RayBundle(
         origins=c2w[..., :3, 3],
         directions=directions,
         pixel_area=pixel_area,
-        camera_indices=ci[..., None])
+        camera_indices=ci[..., None],
+        nears=nears,
+        fars=fars)
 
 
 def full_image_coords(height: int, width: int) -> np.ndarray:

@@ -74,7 +74,8 @@ class ImageRenderer:
         self.chunk = chunk
         self._frame_fns = {}
 
-    def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...]):
+    def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...],
+                        use_crop: bool = False):
         cfg = self.cfg
         chunk = self.chunk
         rgb_coords = jnp.asarray(_chunked_coords(h, w, chunk))
@@ -94,16 +95,18 @@ class ImageRenderer:
             clipseg_coords = jnp.asarray(
                 np.stack([hh, ww], -1).reshape(1, 1024, 2).astype(np.float32))
 
-        def frame(params, cameras, cam_idx):
+        def frame(params, cameras, cam_idx, crop_aabb=None, crop_bg=None):
             def run(coords, get_features):
                 def body(c):
                     # idx vector sized to this grid's chunk width (the
                     # clipseg grid is one 1024-ray chunk, not `chunk`)
                     rb = generate_rays(
                         cameras,
-                        jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c)
+                        jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c,
+                        aabb_box=crop_aabb)
                     return self.model.apply(params, rb, train=False,
-                                            get_features=get_features)
+                                            get_features=get_features,
+                                            bg_color=crop_bg)
                 return jax.lax.map(body, coords)
 
             out = run(rgb_coords, ())
@@ -125,31 +128,55 @@ class ImageRenderer:
                 outputs["clipseg"] = cs.reshape(32, 32, -1)
             return outputs
 
-        return jax.jit(frame)
+        if use_crop:
+            return jax.jit(frame)
+        return jax.jit(lambda params, cameras, cam_idx: frame(params, cameras,
+                                                              cam_idx))
+
+    def _frame_fn(self, h: int, w: int, features: Tuple[str, ...],
+                  use_crop: bool):
+        key = (h, w, tuple(features), use_crop)
+        if key not in self._frame_fns:
+            self._frame_fns[key] = self._build_frame_fn(h, w, tuple(features),
+                                                        use_crop)
+        return self._frame_fns[key]
 
     def render_image(self, params, cameras: Cameras, camera_index: int,
                      width: Optional[int] = None, height: Optional[int] = None,
-                     features: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
-        """Render one camera; returns host numpy arrays."""
+                     features: Tuple[str, ...] = (),
+                     crop_aabb=None, crop_bg=None) -> Dict[str, np.ndarray]:
+        """Render one camera; returns host numpy arrays.
+
+        crop_aabb: optional [2, 3] viewer crop box (traced — dragging the
+        crop sliders never recompiles); crop_bg: optional [3] rgb in [0,1].
+        """
         h = height or cameras.height
         w = width or cameras.width
-        key = (h, w, tuple(features))
-        if key not in self._frame_fns:
-            self._frame_fns[key] = self._build_frame_fn(h, w, tuple(features))
-        out = self._frame_fns[key](params, cameras,
-                                   jnp.asarray(camera_index, jnp.int32))
+        fn = self._frame_fn(h, w, tuple(features), crop_aabb is not None)
+        ci = jnp.asarray(camera_index, jnp.int32)
+        if crop_aabb is not None:
+            bg = (jnp.zeros(3) if crop_bg is None
+                  else jnp.asarray(crop_bg, jnp.float32))
+            out = fn(params, cameras, ci, jnp.asarray(crop_aabb, jnp.float32),
+                     bg)
+        else:
+            out = fn(params, cameras, ci)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def render_image_device(self, params, cameras: Cameras, camera_index,
                             width: int, height: int,
-                            features: Tuple[str, ...] = ()):
+                            features: Tuple[str, ...] = (),
+                            crop_aabb=None, crop_bg=None):
         """Device-resident variant (viewer keeps arrays on device)."""
-        key = (height, width, tuple(features))
-        if key not in self._frame_fns:
-            self._frame_fns[key] = self._build_frame_fn(height, width,
-                                                        tuple(features))
-        return self._frame_fns[key](params, cameras,
-                                    jnp.asarray(camera_index, jnp.int32))
+        fn = self._frame_fn(height, width, tuple(features),
+                            crop_aabb is not None)
+        ci = jnp.asarray(camera_index, jnp.int32)
+        if crop_aabb is not None:
+            bg = (jnp.zeros(3) if crop_bg is None
+                  else jnp.asarray(crop_bg, jnp.float32))
+            return fn(params, cameras, ci,
+                      jnp.asarray(crop_aabb, jnp.float32), bg)
+        return fn(params, cameras, ci)
 
 
 def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,

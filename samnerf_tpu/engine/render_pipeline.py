@@ -174,17 +174,23 @@ class SamNerfRenderer:
                     text_prompt: Optional[str] = None,
                     topk: int = 5, thresh: float = 0.5,
                     width: Optional[int] = None,
-                    height: Optional[int] = None) -> Dict[str, np.ndarray]:
+                    height: Optional[int] = None,
+                    crop_aabb: Optional[np.ndarray] = None,
+                    crop_bg: Optional[np.ndarray] = None
+                    ) -> Dict[str, np.ndarray]:
         """Full reference flow (``sam_model.py:337-548``).
 
         points: [N, 2] float (x, y) accumulated clicks from the client; new
         clicks beyond the locked count are back-projected and locked.
+        crop_aabb: optional [2, 3] viewer crop box (``cameras.py:463-482``).
         """
         cfg = self.cfg
         feats = (("sam", "clipseg") if cfg.distill_sam else ())
         outputs = self.renderer.render_image(params, cameras, camera_index,
                                              width=width, height=height,
-                                             features=feats)
+                                             features=feats,
+                                             crop_aabb=crop_aabb,
+                                             crop_bg=crop_bg)
         h, w = outputs["rgb"].shape[:2]
         outputs["masked_rgb"] = outputs["rgb"]
         prompt = text_prompt if text_prompt is not None else "a man is cooking"

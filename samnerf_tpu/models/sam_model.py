@@ -132,7 +132,8 @@ class SAMModel(nn.Module):
     def __call__(self, ray_bundle: RayBundle, rng: Optional[jax.Array] = None,
                  train: bool = True, anneal: jax.Array | float = 1.0,
                  proposal_grad: jax.Array | float = 1.0,
-                 get_features: Sequence[str] = ()) -> Dict[str, Any]:
+                 get_features: Sequence[str] = (),
+                 bg_color: Optional[jax.Array] = None) -> Dict[str, Any]:
         """Render a flat bundle of rays (reference ``sam_model.py:226-278``).
 
         Args:
@@ -140,9 +141,17 @@ class SAMModel(nn.Module):
                 With "sam" the ray count must be a multiple of patch_size^2
                 when patch_size > 1 (rays arrive patch-major from the patch
                 pixel sampler, ``pixel_samplers.py:248-296``).
+            bg_color: optional [3] rgb in [0,1] overriding the configured
+                background (the reference's BACKGROUND_COLOR_OVERRIDE
+                context used for viewer crops, ``renderers.py:43-55``).
         """
         cfg = self.config
-        ray_bundle = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
+        if ray_bundle.nears is None or ray_bundle.fars is None:
+            # colliders only apply when near/far are unset (the reference
+            # SceneCollider.forward guard, ``scene_colliders.py:40-44``) so
+            # viewer crop-box rays keep their aabb-intersection bounds
+            ray_bundle = ray_bundle.with_near_far(cfg.near_plane,
+                                                  cfg.far_plane)
 
         density_fns = [lambda pos, p=p: p(pos) for p in self.proposal_networks]
         ray_samples, weights_list, ray_samples_list = proposal_sampling(
@@ -158,9 +167,14 @@ class SAMModel(nn.Module):
         weights_list = list(weights_list) + [weights]
         ray_samples_list = list(ray_samples_list) + [ray_samples]
 
-        rgb = render_ops.render_rgb(field_out["rgb"], weights,
-                                    background_color=cfg.background_color,
-                                    training=train)
+        if bg_color is not None:
+            rgb = render_ops.render_rgb(field_out["rgb"], weights,
+                                        background_color="explicit",
+                                        bg_rgb=bg_color, training=train)
+        else:
+            rgb = render_ops.render_rgb(field_out["rgb"], weights,
+                                        background_color=cfg.background_color,
+                                        training=train)
         outputs: Dict[str, Any] = {
             "rgb": rgb,
             "accumulation": render_ops.render_accumulation(weights),

@@ -127,6 +127,45 @@ def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2):
     return lo, hi, w
 
 
+def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
+                           s0, s1, s2):
+    """_corner_index_math with TRACED per-level scale/dense/half (the v2
+    streaming kernel reads them from SMEM per grid step): both the dense
+    linear index and the spatial hash are computed and selected."""
+    sx = x * scale
+    sy = y * scale
+    sz = z * scale
+    fx = jnp.floor(sx)
+    fy = jnp.floor(sy)
+    fz = jnp.floor(sz)
+    ox = sx - fx
+    oy = sy - fy
+    oz = sz - fz
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    ex = (ix & 1) ^ s0
+    ey = (iy & 1) ^ s1
+    ez = (iz & 1) ^ s2
+    cx = ix + ex
+    cy = iy + ey
+    cz = iz + ez
+    w = (jnp.where(ex == 1, ox, 1.0 - ox)
+         * jnp.where(ey == 1, oy, 1.0 - oy)
+         * jnp.where(ez == 1, oz, 1.0 - oz))
+    uhalf = half.astype(jnp.uint32)
+    idx_dense = ((cx >> 1).astype(jnp.uint32)
+                 + uhalf * ((cy >> 1).astype(jnp.uint32)
+                 + uhalf * (cz >> 1).astype(jnp.uint32)))
+    idx_hash = ((cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+                ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+                ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
+    idx = jnp.where(dense != 0, idx_dense, idx_hash)
+    lo = (idx & jnp.uint32(LANES - 1)).astype(jnp.int32)
+    hi = ((idx >> 7) & jnp.uint32(num_steps - 1)).astype(jnp.int32)
+    return lo, hi, w
+
+
 # --- forward kernel -----------------------------------------------------------
 
 
@@ -279,6 +318,208 @@ def _bwd_call(positions_t, g, *, plan, num_steps, num_packed, num_levels,
     )(positions_t, g)
 
 
+# --- v2: streaming kernels for reference-capacity tables ----------------------
+#
+# The v1 kernels above hold the WHOLE multi-level table in VMEM and
+# python-unroll the scan — ideal up to ~2^15 entries/level, impossible at
+# the reference's 2^19 (``nerfacto.py:89``, ``sam_field.py:97-110``): 24+ MB
+# of tables and a 512-step unrolled program.  v2 streams instead:
+#
+# - grid = (packs*levels, point_tiles): ONE level's packed table (2 MB at
+#   2^19) is VMEM-resident per grid step, pipelined by Mosaic across the
+#   level sweep;
+# - the scan is a fori_loop with a PER-LEVEL dynamic bound read from SMEM
+#   metadata (program size is O(unroll), not O(table)); dense coarse
+#   levels scan only ceil(half^3/128) row-groups instead of the full
+#   hashed capacity;
+# - backward accumulates per-level gradient blocks in VMEM across the
+#   point-tile sweep, with the scatter expressed as chunked one-hot
+#   matmuls on the MXU (batched over the 8 parity classes).
+
+V2_UNROLL = 8          # fwd scan steps per fori iteration
+V2_BWD_CHUNK = 64      # bwd one-hot matmul rows per chunk
+
+
+def _plan_meta(plan, num_steps: int, num_packed: int):
+    """Per-(pack, level) kernel metadata.
+
+    meta int32 [PL, 4]: (dense, half, fwd_chunks, bwd_chunks);
+    scale f32 [PL, 1].
+    """
+    num_levels = len(plan)
+    bwd_chunk = min(V2_BWD_CHUNK, num_steps)
+    meta = np.zeros((num_packed * num_levels, 4), np.int32)
+    scale = np.zeros((num_packed * num_levels, 1), np.float32)
+    for p in range(num_packed):
+        for l, (s, dense, half) in enumerate(plan):
+            steps_l = num_steps
+            if dense:
+                steps_l = min(num_steps, -(-(half ** 3) // LANES))
+            row = p * num_levels + l
+            meta[row] = (1 if dense else 0, half,
+                         -(-steps_l // V2_UNROLL), -(-steps_l // bwd_chunk))
+            scale[row, 0] = s
+    return jnp.asarray(meta), jnp.asarray(scale)
+
+
+def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref, *,
+                   num_steps: int, tile: int):
+    """Blocks: meta [PL, 4] / scale [PL, 1] (SMEM, full), pos [8, tile],
+    table [1, num_steps*8, 128] (this (pack, level)'s rows),
+    out [1, 2, tile] (internal layout [PL, 2, N]; the feature dim is kept
+    full-size so the block satisfies the TPU (8,128)-divisibility rule)."""
+    pid = pl.program_id(0)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    n_chunks = meta_ref[pid, 2]
+    scale = scale_ref[pid, 0]
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, LANES), 0)
+    s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+
+    for j in range(tile // LANES):
+        cols = slice(j * LANES, (j + 1) * LANES)
+        x = pos_ref[0:1, cols]
+        y = pos_ref[1:2, cols]
+        z = pos_ref[2:3, cols]
+        lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2)
+
+        def chunk(b, acc):
+            for u in range(V2_UNROLL):
+                t = b * V2_UNROLL + u
+                src = table_ref[0, pl.ds(t * PARITIES, PARITIES), :]
+                g = jnp.take_along_axis(src, lo, axis=1)
+                acc = jnp.where(hi == t, g, acc)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, chunk, jnp.zeros((PARITIES, LANES), jnp.float32))
+        bits = pltpu.bitcast(acc, jnp.uint32)
+        f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        f1 = pltpu.bitcast(bits << 16, jnp.float32)
+        out_ref[0, 0:1, cols] = jnp.sum(f0 * w, axis=0, keepdims=True)
+        out_ref[0, 1:2, cols] = jnp.sum(f1 * w, axis=0, keepdims=True)
+
+
+def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile):
+    pl_rows = packed_table.shape[0]
+    n = positions_t.shape[1]
+    kern = functools.partial(_fwd_kernel_v2, num_steps=num_steps, tile=tile)
+    return pl.pallas_call(
+        kern,
+        grid=(pl_rows, n // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda l, i: (0, i)),
+            pl.BlockSpec((1, num_steps * PARITIES, LANES),
+                         lambda l, i: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i: (l, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+    )(meta, scale, positions_t, packed_table)
+
+
+def _bwd_kernel_v2(meta_ref, scale_ref, pos_ref, g_ref, gtab_ref, *,
+                   num_steps: int, tile: int):
+    """Blocks: pos [8, tile], g [1, 2, tile] (internal [PL, 2, N]), gtab
+    [1, 2, 8, num_steps, 128] f32 accumulated across the point-tile sweep.
+
+    Scatter = chunked one-hot matmul: per step-chunk c and parity s,
+    grad[t, m] = sum_j (hi==t) * (g*w) * (lo==m) — a [2F*CHUNK, nt] x
+    [nt, 128] MXU contraction batched over the 8 parities.
+    """
+    chunk_rows = min(V2_BWD_CHUNK, num_steps)
+    pid = pl.program_id(0)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    n_chunks = meta_ref[pid, 3]
+    scale = scale_ref[pid, 0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        gtab_ref[...] = jnp.zeros_like(gtab_ref)
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, LANES), 0)
+    s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
+    chunk_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, chunk_rows, LANES), 1)
+
+    n_sub = tile // LANES
+    per_sub = []
+    for j in range(n_sub):
+        cols = slice(j * LANES, (j + 1) * LANES)
+        x = pos_ref[0:1, cols]
+        y = pos_ref[1:2, cols]
+        z = pos_ref[2:3, cols]
+        lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2)
+        g0 = g_ref[0, 0:1, cols] * w   # [8, 128] cotangent * trilinear w
+        g1 = g_ref[0, 1:2, cols] * w
+        # oh_lo^T [8, nt, 128]: (lo == m) for the batched contraction
+        oh_lo_t = (lo[:, :, None] == lane_iota).astype(jnp.float32)
+        per_sub.append((hi, g0, g1, oh_lo_t))
+
+    def chunk(b, _):
+        base = b * chunk_rows
+        acc = jnp.zeros((PARITIES, 2 * chunk_rows, LANES), jnp.float32)
+        for hi, g0, g1, oh_lo_t in per_sub:
+            # oh_hi [8, CHUNK, nt]
+            oh_hi = (chunk_iota + base == hi[:, None, :]).astype(jnp.float32)
+            u = jnp.concatenate([oh_hi * g0[:, None, :],
+                                 oh_hi * g1[:, None, :]], axis=1)
+            acc = acc + jax.lax.dot_general(
+                u, oh_lo_t, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        for s in range(PARITIES):
+            for f in range(2):
+                rows = acc[s, f * chunk_rows:(f + 1) * chunk_rows, :]
+                cur = gtab_ref[0, f, s, pl.ds(base, chunk_rows), :]
+                gtab_ref[0, f, s, pl.ds(base, chunk_rows), :] = cur + rows
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
+def _bwd_call_v2(positions_t, g_internal, meta, scale, *, pl_rows, num_steps,
+                 tile):
+    n = positions_t.shape[1]
+    kern = functools.partial(_bwd_kernel_v2, num_steps=num_steps, tile=tile)
+    return pl.pallas_call(
+        kern,
+        grid=(pl_rows, n // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda l, i: (0, i)),
+            pl.BlockSpec((1, 2, tile), lambda l, i: (l, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, PARITIES, num_steps, LANES),
+                               lambda l, i: (l, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (pl_rows, 2, PARITIES, num_steps, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(meta, scale, positions_t, g_internal)
+
+
+def _internal_to_public(out_internal, num_packed, num_levels, n):
+    """[PL, 2, N] kernel layout -> [N, (p*2+f)*L+l] public layout."""
+    o = out_internal.reshape(num_packed, num_levels, 2, n)
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(num_packed * 2 * num_levels, n)
+    return o.T
+
+
+def _public_to_internal(g, num_packed, num_levels):
+    """[N, (p*2+f)*L+l] cotangent -> [PL, 2, N]."""
+    n = g.shape[0]
+    o = g.T.reshape(num_packed, 2, num_levels, n)
+    return jnp.transpose(o, (0, 2, 1, 3)).reshape(
+        num_packed * num_levels, 2, n)
+
+
 # --- reference (pure jnp; identical semantics, any backend) -------------------
 
 
@@ -323,6 +564,13 @@ def _pick_tile(n: int, cap: int = 256) -> int:
     return t
 
 
+def _use_v2(num_steps: int, pl_rows: int) -> bool:
+    """v1 (whole table VMEM-resident, unrolled scan) up to 2^15-entry
+    levels that fit VMEM together; the v2 streaming kernel beyond."""
+    table_bytes = pl_rows * num_steps * PARITIES * LANES * 4
+    return num_steps > 32 or table_bytes > 6 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def parity_hash_encode(table: jax.Array, positions: jax.Array,
                        scalings, num_steps: int,
@@ -345,6 +593,12 @@ def _fwd(table, positions, scalings, num_steps, tile):
     num_packed = table.shape[0] // num_levels
     n = positions.shape[0]
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
+    if _use_v2(num_steps, table.shape[0]):
+        meta, scale = _plan_meta(plan, num_steps, num_packed)
+        out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
+                           num_steps=num_steps,
+                           tile=tile or _pick_tile(n, 2048))
+        return _internal_to_public(out, num_packed, num_levels, n)
     out = _fwd_call(pack_table(table), pos_t, plan=plan, num_steps=num_steps,
                     num_packed=num_packed, num_levels=num_levels,
                     tile=tile or _pick_tile(n))
@@ -369,6 +623,17 @@ def _bwd_rule(scalings, num_steps, tile, positions, g):
             jnp.zeros(shape, jnp.float32))
         return vjp(g)[0], jnp.zeros_like(positions)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
+    if _use_v2(num_steps, gl):
+        meta, scale = _plan_meta(plan, num_steps, num_packed)
+        g_int = _public_to_internal(g, num_packed, num_levels)
+        gtab = _bwd_call_v2(pos_t, g_int, meta, scale, pl_rows=gl,
+                            num_steps=num_steps,
+                            tile=tile or _pick_tile(n, 2048))
+        # [gl, 2, 8, steps, 128] parity-major -> [gl, steps*8, 128, 2]
+        gtab = jnp.moveaxis(gtab, 1, -1)      # [gl, 8, steps, 128, 2]
+        gtab = jnp.swapaxes(gtab, 1, 2)       # [gl, steps, 8, 128, 2]
+        gtab = gtab.reshape(gl, num_steps * PARITIES, LANES, 2)
+        return gtab, jnp.zeros_like(positions)
     gtab = _bwd_call(pos_t, g.T, plan=plan, num_steps=num_steps,
                      num_packed=num_packed, num_levels=num_levels,
                      tile=tile or _pick_tile(n))

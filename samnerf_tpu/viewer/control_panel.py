@@ -39,6 +39,12 @@ class Element:
             conf.update(value=self.value, options=self.options)
         elif self.kind in ("text", "number"):
             conf["value"] = self.value
+        elif self.kind == "rgb":
+            r, g, b = self.value
+            conf["value"] = {"r": r, "g": g, "b": b}
+        elif self.kind == "vec3":
+            x, y, z = self.value
+            conf.update(value={"x": x, "y": y, "z": z}, step=0.05)
         elif self.kind == "button":
             conf["type"] = "BUTTON"
         return conf
@@ -63,6 +69,10 @@ class ControlPanel:
         self.add(Element("Train Util", "slider", 0.85, (0.0, 1.0, 0.05)))
         self.add(Element("Max Res", "slider", 512, (64, 2048, 64)))
         self.add(Element("Crop Viewport", "checkbox", False))
+        # crop group (control_panel.py:88-90), hidden until crop enabled
+        self.add(Element("Background color", "rgb", (38, 42, 55), hidden=True))
+        self.add(Element("Crop Min", "vec3", (-1.0, -1.0, -1.0), hidden=True))
+        self.add(Element("Crop Max", "vec3", (1.0, 1.0, 1.0), hidden=True))
         self.add(Element("Enable SAM", "checkbox", False))
         self.add(Element("Clear SAM pins", "button", hidden=True))
         self.add(Element("Text Prompt", "text", "", hidden=True))
@@ -107,6 +117,29 @@ class ControlPanel:
             for dep in ("Clear SAM pins", "Text Prompt", "Threshold", "TopK",
                         "Send", "Clear"):
                 self.set_hidden(dep, not bool(msg.value))
+        if msg.name == "Crop Viewport":
+            for dep in ("Background color", "Crop Min", "Crop Max"):
+                self.set_hidden(dep, not bool(msg.value))
         if el.cb is not None:
             el.cb(msg.value)
         self.rerender_cb()
+
+    # --- crop state accessors (reference control_panel.py:269-295) ---------
+    @property
+    def crop_viewport(self) -> bool:
+        return bool(self.elements["Crop Viewport"].value)
+
+    @property
+    def crop_min(self):
+        v = self.elements["Crop Min"].value
+        return (v["x"], v["y"], v["z"]) if isinstance(v, dict) else tuple(v)
+
+    @property
+    def crop_max(self):
+        v = self.elements["Crop Max"].value
+        return (v["x"], v["y"], v["z"]) if isinstance(v, dict) else tuple(v)
+
+    @property
+    def background_color(self):
+        v = self.elements["Background color"].value
+        return (v["r"], v["g"], v["b"]) if isinstance(v, dict) else tuple(v)

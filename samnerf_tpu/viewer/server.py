@@ -122,3 +122,29 @@ class ViewerServer:
 
     def update_fps(self, fps: float) -> None:
         self.broadcast(m.FPSMessage(fps=fps))
+
+
+def serve_client(http_port: int = 7008, ws_port: int = 7007,
+                 host: str = "0.0.0.0") -> threading.Thread:
+    """Serve the bundled HTML viewer client over HTTP.
+
+    Replaces the reference's `npm start`-built React app hosting
+    (``nerfstudio/viewer/app``): open
+    ``http://<host>:<http_port>/?port=<ws_port>`` in a browser.
+    Returns the daemon server thread.
+    """
+    import functools
+    import http.server
+    import os
+
+    client_dir = os.path.join(os.path.dirname(__file__), "client")
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a, **k):
+            pass
+
+    handler = functools.partial(_Quiet, directory=client_dir)
+    httpd = http.server.ThreadingHTTPServer((host, http_port), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -53,6 +53,12 @@ class ViewerState:
         self.step = 0
         self.training_state = "training"
         self.camera_moving = False
+        # viewer crop box (reference viewer_state.py crop handling +
+        # control_panel.py:83-90)
+        self.crop_enabled = False
+        self.crop_min = np.array([-1.0, -1.0, -1.0], np.float32)
+        self.crop_max = np.array([1.0, 1.0, 1.0], np.float32)
+        self.crop_bg = np.array([38, 42, 55], np.float32) / 255.0
 
         self.render_machine = RenderStateMachine(self)
 
@@ -67,6 +73,28 @@ class ViewerState:
         s.register_handler(m.SearchTextMessage, self._handle_search_text)
         s.register_handler(m.TrainingStateMessage, self._handle_training_state)
         s.register_handler(m.SaveCheckpointMessage, self._handle_save_ckpt)
+        s.register_handler(m.CropParamsMessage, self._handle_crop_params)
+
+        # server-declared GUI (reference control_panel.py:96-141) wired to
+        # the interactive state
+        from samnerf_tpu.viewer.control_panel import ControlPanel
+        self.control_panel = ControlPanel(s, rerender_cb=self._rerender)
+        p = self.control_panel
+        p.on("Enable SAM", lambda v: self._sam_update(m.SamMessage(bool(v))))
+        p.on("Clear SAM pins",
+             lambda v: self._clear_sam_pins(m.ClearSamPinsMessage()))
+        p.on("Send", lambda v: self._send_text_prompt(
+            m.TextPromptMessage(p["Text Prompt"])))
+        p.on("Clear",
+             lambda v: self._send_text_prompt(m.TextPromptMessage("")))
+        p.on("Threshold", lambda v: setattr(self, "threshold", float(v)))
+        p.on("TopK", lambda v: setattr(self, "topk", int(v)))
+        p.on("Output Render", lambda v: setattr(self, "output_render", v))
+        p.on("Max Res", lambda v: setattr(self, "max_res", int(v)))
+        p.on("Crop Viewport", self._panel_crop_update)
+        p.on("Crop Min", self._panel_crop_update)
+        p.on("Crop Max", self._panel_crop_update)
+        p.on("Background color", self._panel_crop_update)
 
     def start(self):
         self.server.start()
@@ -77,10 +105,14 @@ class ViewerState:
                     topk=5, thresh=0.5) -> Dict[str, np.ndarray]:
         from samnerf_tpu.engine.render_pipeline import cameras_from_intrin_c2w
         cam = cameras_from_intrin_c2w(intrin, c2w, h, w)
+        crop_aabb = crop_bg = None
+        if self.crop_enabled:
+            crop_aabb = np.stack([self.crop_min, self.crop_max])
+            crop_bg = self.crop_bg
         return self.renderer.render_view(
             self.params_fn(), cam, 0, intrin, c2w,
             points=points, text_prompt=text_prompt, topk=topk, thresh=thresh,
-            width=w, height=h)
+            width=w, height=h, crop_aabb=crop_aabb, crop_bg=crop_bg)
 
     # --- handlers -----------------------------------------------------------
     def _handle_camera_update(self, msg: m.CameraMessage):
@@ -136,6 +168,31 @@ class ViewerState:
     def _handle_save_ckpt(self, msg: m.SaveCheckpointMessage):
         if self.save_checkpoint_fn is not None:
             self.save_checkpoint_fn(self.step)
+
+    def _rerender(self):
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
+
+    def _panel_crop_update(self, _value=None):
+        """Panel crop edits -> crop state (reference crop_update_cb,
+        ``control_panel.py:83-90``)."""
+        p = self.control_panel
+        self.crop_enabled = p.crop_viewport
+        self.crop_min = np.asarray(p.crop_min, np.float32)
+        self.crop_max = np.asarray(p.crop_max, np.float32)
+        self.crop_bg = np.asarray(p.background_color, np.float32) / 255.0
+
+    def _handle_crop_params(self, msg: m.CropParamsMessage):
+        """Client crop edits (reference ``viewer_state.py`` crop handler):
+        center/scale -> min/max corners."""
+        self.crop_enabled = bool(msg.crop_enabled)
+        center = np.asarray(msg.crop_center, np.float32)
+        scale = np.asarray(msg.crop_scale, np.float32)
+        self.crop_min = center - scale / 2.0
+        self.crop_max = center + scale / 2.0
+        self.crop_bg = np.asarray(msg.crop_bg_color, np.float32) / 255.0
+        self.render_machine.action(
+            RenderAction("rerender", self.render_machine.last_cam_msg))
 
     # --- training-loop integration ------------------------------------------
     def init_scene(self, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1)):

@@ -30,53 +30,39 @@ sys.path.insert(0, ".")
 
 from samnerf_tpu.ops import hash_pallas as hp
 
-_RTT = None
-
-
-def rtt() -> float:
-    global _RTT
-    if _RTT is None:
-        f = jax.jit(lambda x: x * 2.0)
-        x = jnp.ones((8, 128))
-        np.asarray(f(x))
-        ts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            np.asarray(f(x + i))
-            ts.append(time.perf_counter() - t0)
-        _RTT = min(ts)
-        print(f"tunnel RTT ~ {_RTT*1e3:.1f} ms")
-    return _RTT
-
-
-def measure(fn, x, *rest, iters=30):
-    """Time `fn(x, *rest)` per call: lax.scan chain inside one jit, output
-    folded back into the carry, tiny slice fetched. Returns seconds/call."""
+def measure(fn, x, *rest, iters=30, runs=3):
+    """Time `fn(x, *rest)` per call: long lax.scan chain inside ONE jit
+    (so total work >> tunnel RTT), output folded into the carry to chain
+    iterations, tiny fetch to force completion, min over runs."""
 
     @jax.jit
     def run(x, *rest):
         def step(c, _):
             out = fn(c, *rest)
-            eps = (out.ravel()[0] * 1e-12).astype(c.dtype)
-            return c + eps, ()
+            # fold the FULL output into the carry: a single-element fold
+            # lets XLA dead-code-eliminate almost all of the op
+            eps = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(c.dtype)
+            return c + eps, None
         c, _ = lax.scan(step, x, None, length=iters)
         return c.ravel()[:1]
 
     np.asarray(run(x, *rest))          # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(run(x + 1e-4, *rest))
-    dt = time.perf_counter() - t0 - rtt()
-    return max(dt, 1e-9) / iters
+    ts = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(run(x + (i + 1) * 1e-4, *rest))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters
 
 
 def calibrate():
     a = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096), jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (4096, 4096),
                           jnp.bfloat16) / 64
-    dt = measure(lambda x, y: x @ y, a, b)
+    dt = measure(lambda x, y: x @ y, a, b, iters=100)
     fl = 2 * 4096 ** 3
     print(f"calibration matmul 4096^3 bf16: {dt*1e3:.3f} ms = "
-          f"{fl/dt/1e12:.0f} TFLOPs (v5e peak ~197)")
+          f"{fl/dt/1e12:.0f} TFLOPs (v5e peak ~197, measured ~139)")
 
 
 def bench_xla_take(n_idx, table_log2, feat):
@@ -84,7 +70,7 @@ def bench_xla_take(n_idx, table_log2, feat):
     idx = jax.random.randint(jax.random.PRNGKey(1), (n_idx,), 0,
                              2 ** table_log2)
     dt = measure(lambda t, i: jnp.take(t, i, axis=0).sum(axis=-1), t, idx,
-                 iters=10)
+                 iters=30)
     return dt, n_idx / dt
 
 
@@ -137,7 +123,7 @@ def _scan_pallas(n_points, table_log2, unroll):
 def bench_scan(n_points, table_log2, unroll):
     call, pos, tab = _scan_pallas(n_points, table_log2, unroll)
     t0 = time.perf_counter()
-    dt = measure(call, pos, tab, iters=10)
+    dt = measure(call, pos, tab, iters=30)
     return dt, n_points * 8 / dt, time.perf_counter() - t0
 
 
@@ -148,14 +134,13 @@ def bench_current(n_points, table_log2, num_levels):
     pos = jax.random.uniform(jax.random.PRNGKey(1), (n_points, 3))
     f = lambda p, t: hp.parity_hash_encode(t, p, scalings, num_steps)
     t0 = time.perf_counter()
-    dt = measure(f, pos, table, iters=10)
+    dt = measure(f, pos, table, iters=30)
     wall = time.perf_counter() - t0
     return dt, n_points * num_levels * 8 / dt, wall
 
 
 def main():
     print(f"backend: {jax.default_backend()}, {jax.devices()}")
-    rtt()
     calibrate()
     n = 2 ** 17
 

@@ -129,3 +129,63 @@ def test_weights_sum_to_one():
         s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1)
     np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=0)),
                                np.ones(64), rtol=1e-5)
+
+
+def test_v2_fwd_matches_reference(monkeypatch):
+    """Streaming kernel == jnp reference at mixed dense/hashed levels."""
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 8)
+    meta, scale = hp._plan_meta(hp._level_plan(scalings, 8), 8, 1)
+    out = hp._fwd_call_v2(
+        hp.pack_table(table),
+        jnp.zeros((8, pos.shape[0])).at[:3].set(pos.T),
+        meta, scale, num_steps=8, tile=256)
+    out = hp._internal_to_public(out, 1, 4, 512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_v2_fwd_matches_reference_packed2(monkeypatch):
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=3, steps=4, P=2, N=256)
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 4)
+    meta, scale = hp._plan_meta(hp._level_plan(scalings, 4), 4, 2)
+    out = hp._fwd_call_v2(
+        hp.pack_table(table),
+        jnp.zeros((8, pos.shape[0])).at[:3].set(pos.T),
+        meta, scale, num_steps=4, tile=128)
+    out = hp._internal_to_public(out, 2, 3, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_v2_bwd_matches_ref_vjp(monkeypatch):
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=3, steps=2, N=384)
+    plan = hp._level_plan(scalings, 2)
+    g = jax.random.normal(jax.random.PRNGKey(9), (384, 6))
+    _, vjp = jax.vjp(
+        lambda t: hp.parity_hash_encode_ref(t, pos, scalings, 2), table)
+    ref_grad = vjp(g)[0]
+    meta, scale = hp._plan_meta(plan, 2, 1)
+    g_int = hp._public_to_internal(g, 1, 3)
+    gtab = hp._bwd_call_v2(
+        jnp.zeros((8, 384)).at[:3].set(pos.T), g_int, meta, scale,
+        pl_rows=3, num_steps=2, tile=128)
+    out = np.moveaxis(np.asarray(gtab), 1, -1)    # [gl, 8, steps, 128, 2]
+    out = out.swapaxes(1, 2).reshape(3, 2 * 8, 128, 2)
+    np.testing.assert_allclose(out, np.asarray(ref_grad),
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_v2_layout_roundtrip():
+    g = jax.random.normal(jax.random.PRNGKey(0), (64, 2 * 2 * 3))
+    back = hp._internal_to_public(hp._public_to_internal(g, 2, 3), 2, 3, 64)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(g))
+
+
+def test_use_v2_rule():
+    assert not hp._use_v2(32, 12)          # 2^15 levels, 12 tables: v1
+    assert hp._use_v2(512, 16)             # 2^19: v2
+    assert hp._use_v2(32, 64)              # many packed tables: VMEM blown

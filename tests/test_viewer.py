@@ -121,3 +121,97 @@ def test_control_panel_elements_and_hidden_logic():
     srv.handlers[m.GuiUpdateMessage](m.GuiUpdateMessage(name="Threshold",
                                                         value=0.7))
     assert got == [0.7] and panel["Threshold"] == 0.7
+
+
+def test_crop_box_rays_and_panel():
+    """Viewer crop: generate_rays(aabb_box) sets nears/fars from the box
+    intersection (reference cameras.py:463-482) and the panel's crop group
+    follows the Crop Viewport toggle (control_panel.py:83-90, 188-199)."""
+    import jax.numpy as jnp
+
+    from samnerf_tpu.core.cameras import Cameras, generate_rays
+    from samnerf_tpu.viewer import messages as m
+    from samnerf_tpu.viewer.control_panel import ControlPanel
+
+    c2w = np.eye(4)[:3, :4].astype(np.float32)
+    c2w[2, 3] = 3.0  # camera at z=3 looking down -z
+    cams = Cameras(camera_to_worlds=jnp.asarray(c2w[None]),
+                   fx=jnp.asarray([[100.0]]), fy=jnp.asarray([[100.0]]),
+                   cx=jnp.asarray([[50.0]]), cy=jnp.asarray([[50.0]]),
+                   width=100, height=100)
+    coords = jnp.asarray([[50.0, 50.0]])  # central ray, dir = -z
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    rb = generate_rays(cams, jnp.zeros(1, jnp.int32), coords, aabb_box=aabb)
+    # central ray enters the unit box at z=1 (t=2) and exits at z=-1 (t=4)
+    np.testing.assert_allclose(np.asarray(rb.nears[0, 0]), 2.0, atol=0.02)
+    np.testing.assert_allclose(np.asarray(rb.fars[0, 0]), 4.0, atol=0.02)
+    # without a box near/far stay unset (model collider applies)
+    rb2 = generate_rays(cams, jnp.zeros(1, jnp.int32), coords)
+    assert rb2.nears is None and rb2.fars is None
+
+    class FakeServer:
+        def __init__(self):
+            self.sent = []
+            self.handlers = {}
+
+        def broadcast(self, msg):
+            self.sent.append(msg)
+
+        def register_handler(self, t, cb):
+            self.handlers[t] = cb
+
+    srv = FakeServer()
+    panel = ControlPanel(srv, rerender_cb=lambda: None)
+    hidden = {x.name for x in srv.sent
+              if isinstance(x, m.GuiSetHiddenMessage) and x.hidden}
+    assert {"Background color", "Crop Min", "Crop Max"} <= hidden
+    srv.sent.clear()
+    srv.handlers[m.GuiUpdateMessage](
+        m.GuiUpdateMessage(name="Crop Viewport", value=True))
+    shown = {x.name for x in srv.sent
+             if isinstance(x, m.GuiSetHiddenMessage) and not x.hidden}
+    assert {"Background color", "Crop Min", "Crop Max"} <= shown
+    assert panel.crop_viewport is True
+    srv.handlers[m.GuiUpdateMessage](m.GuiUpdateMessage(
+        name="Crop Min", value={"x": -0.5, "y": -0.5, "z": -0.5}))
+    assert panel.crop_min == (-0.5, -0.5, -0.5)
+    assert panel.background_color == (38, 42, 55)
+
+
+def test_crop_params_message_updates_viewer_state():
+    """CropParamsMessage center/scale -> crop corners on the viewer state
+    (reference viewer_state crop handler + messages.py:206-218)."""
+    from samnerf_tpu.viewer.viewer_state import ViewerState
+
+    class FakeRenderer:
+        def clear_prompts(self):
+            pass
+
+    class FakeSrv:
+        def __init__(self):
+            self.handlers = {}
+
+        def register_handler(self, t, cb):
+            self.handlers[t] = cb
+
+    vs = ViewerState.__new__(ViewerState)
+    vs.crop_enabled = False
+    vs.crop_min = np.zeros(3)
+    vs.crop_max = np.zeros(3)
+    vs.crop_bg = np.zeros(3)
+
+    class FakeMachine:
+        last_cam_msg = None
+
+        def action(self, a):
+            pass
+
+    vs.render_machine = FakeMachine()
+    msg = m.CropParamsMessage(crop_enabled=True, crop_bg_color=(255, 0, 0),
+                              crop_center=(0.0, 0.0, 0.0),
+                              crop_scale=(2.0, 2.0, 1.0))
+    vs._handle_crop_params(msg)
+    assert vs.crop_enabled
+    np.testing.assert_allclose(vs.crop_min, [-1.0, -1.0, -0.5])
+    np.testing.assert_allclose(vs.crop_max, [1.0, 1.0, 0.5])
+    np.testing.assert_allclose(vs.crop_bg, [1.0, 0.0, 0.0])
