@@ -101,3 +101,56 @@ def test_client_bundle_present_and_speaks_the_protocol():
         assert required in text, required
     # camera message carries the SAM pins exactly like the React client
     assert "xs: state.xs" in text and "ys: state.ys" in text
+
+
+def _look_at_matrix(eye, target, up):
+    """Python replica of the HTML client's lookAtMatrix (column-major,
+    three.js conventions) for validating the server-side decoder."""
+    eye = np.asarray(eye, np.float64)
+    z = eye - np.asarray(target, np.float64)
+    z /= np.linalg.norm(z)
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    m = np.zeros(16)
+    m[0:3] = x
+    m[4:7] = y
+    m[8:11] = z
+    m[12:15] = eye
+    m[15] = 1.0
+    return m.tolist()
+
+
+def test_client_camera_matrix_roundtrip():
+    """A camera pose built the way the HTML client builds it must decode
+    on the server into a c2w whose position/viewing direction match
+    (camera_from_message applies the three.js y-up -> z-up swaps,
+    ``render_state_machine.py:158-165``)."""
+    from samnerf_tpu.viewer.render_state_machine import camera_from_message
+
+    eye = [0.0, 0.0, 3.0]  # y-up world, camera on +z axis looking at origin
+    msg = m.CameraMessage(
+        aspect=1.0, render_aspect=1.0, fov=60.0,
+        matrix=tuple(_look_at_matrix(eye, [0, 0, 0], [0, 1, 0])),
+        camera_type="perspective", is_moving=False, timestamp=0,
+        xs=[], ys=[])
+    intrin, c2w = camera_from_message(msg, 64, 64)
+    # position present (server swaps y/z axes: client y-up -> world z-up)
+    np.testing.assert_allclose(sorted(np.abs(c2w[:, 3])), [0, 0, 3],
+                               atol=1e-6)
+    # viewing direction: central ray (camera -z) points back at the origin
+    d = -c2w[:3, 2]
+    np.testing.assert_allclose(c2w[:, 3] + 3.0 * d, [0, 0, 0], atol=1e-5)
+    assert intrin[0, 0] == intrin[1, 1] > 0
+
+
+def test_serve_client_http():
+    """serve_client must deliver the bundled client over HTTP."""
+    import urllib.request
+
+    from samnerf_tpu.viewer.server import serve_client
+
+    serve_client(http_port=17940, ws_port=17941, host="127.0.0.1")
+    body = urllib.request.urlopen(
+        "http://127.0.0.1:17940/", timeout=10).read().decode()
+    assert "samnerf-tpu viewer" in body and "CameraMessage" in body
