@@ -180,18 +180,28 @@ class ImageRenderer:
 
 
 def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
-                           features: Tuple[str, ...] = ()):
-    """Data-parallel frame rendering over a device mesh.
+                           features: Tuple[str, ...] = (),
+                           sam=None, max_points: int = 4):
+    """Data-parallel INTERACTIVE frame rendering over a device mesh.
 
-    The single-chip frame fn lax.maps over ray chunks; here the chunk
-    axis is sharded over the mesh's data axis with ``shard_map`` — each
-    chip renders its slice of the frame, XLA all-gathers the image at
-    the end (one collective per output).  Scales the reference's
-    single-GPU viewer render path (``render_state_machine.py:135-243``)
-    across a slice, replacing DDP-style replication.
+    The single-chip frame fn lax.maps over ray chunks; here every ray
+    grid's chunk axis is sharded over the mesh's data axis with
+    ``shard_map`` — each chip renders its slice of the rgb frame, the
+    SAM 64x64x256 feature grid, and the ClipSeg 32x32 grid; XLA
+    all-gathers at the shard_map boundary.  When a ``sam`` module is
+    given, the full view-time path — prompt encode + mask decode on the
+    RENDERED embedding (``predictor.set_feature`` flow,
+    ``samnerf/sam_model.py:337-548``) + red overlay composite — runs in
+    the same jitted program, so one dispatch serves a complete
+    interactive frame on an N-chip slice.  Replaces the reference's
+    single-GPU viewer render (``render_state_machine.py:135-243``) at
+    scale.
+
+    Returned fn: ``frame(params, cameras, cam_idx)`` or, with ``sam``,
+    ``frame(params, dec_params, cameras, cam_idx, coords, labels)`` where
+    coords [1, max_points, 2] are 1024-frame prompt coords padded with
+    label -1 and ``labels`` [1, max_points].
     """
-    import functools
-
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -200,35 +210,91 @@ def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
     cfg = renderer.cfg
     chunk = renderer.chunk
     n_dev = mesh.shape[DATA_AXIS]
-    rgb_coords = jnp.asarray(_chunked_coords(h, w, chunk))
-    pad_chunks = (-rgb_coords.shape[0]) % n_dev
-    if pad_chunks:
-        rgb_coords = jnp.concatenate(
-            [rgb_coords, jnp.tile(rgb_coords[-1:], (pad_chunks, 1, 1))])
+
+    def _pad_to_dev(coords):
+        pad = (-coords.shape[0]) % n_dev
+        if pad:
+            coords = jnp.concatenate(
+                [coords, jnp.tile(coords[-1:], (pad, 1, 1))])
+        return coords
+
+    rgb_coords = _pad_to_dev(jnp.asarray(_chunked_coords(h, w, chunk)))
     n_pix = h * w
 
-    def local_render(params, cameras, cam_idx, coords):
+    sam_coords = None
+    fh = fw = None
+    if "sam" in features and cfg.distill_sam:
+        fh, fw = get_feature_size(h, w)
+        sam_coords = _pad_to_dev(jnp.asarray(
+            _feature_grid_coords(h, w, fh, fw, cfg.patch_size,
+                                 min(chunk, 2048))))
+    clipseg_coords = None
+    if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
+        hi = np.linspace(0, h - 1, 32)
+        wi = np.linspace(0, w - 1, 32)
+        hh, ww = np.meshgrid(hi, wi, indexing="ij")
+        grid = np.stack([hh, ww], -1).reshape(-1, 2).astype(np.float32)
+        # one 1024/n_dev-ray chunk per device
+        clipseg_coords = jnp.asarray(grid.reshape(n_dev, 1024 // n_dev, 2))
+
+    def local_render(params, cameras, cam_idx, coords, get_features):
         def body(c):
             rb = generate_rays(
                 cameras, jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c)
             return renderer.model.apply(params, rb, train=False,
-                                        get_features=features)
+                                        get_features=get_features)
         return jax.lax.map(body, coords)
 
-    smapped = shard_map(
-        local_render, mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS), check_rep=False)
+    def smap(get_features):
+        return shard_map(
+            functools.partial(local_render, get_features=get_features),
+            mesh=mesh, in_specs=(P(), P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_rep=False)
 
-    @jax.jit
-    def frame(params, cameras, cam_idx):
-        out = smapped(params, cameras, cam_idx, rgb_coords)
+    def render_all(params, cameras, cam_idx):
+        out = smap(())(params, cameras, cam_idx, rgb_coords)
         res = {}
         for k in ("rgb", "depth", "accumulation"):
             if k in out:
                 v = out[k]
                 res[k] = v.reshape(-1, v.shape[-1])[:n_pix].reshape(
                     h, w, v.shape[-1])
+        if sam_coords is not None:
+            s = smap(("sam",))(params, cameras, cam_idx, sam_coords)["sam"]
+            res["sam"] = s.reshape(-1, s.shape[-1])[:fh * fw].reshape(
+                fh, fw, -1)
+        if clipseg_coords is not None:
+            c = smap(("clipseg",))(params, cameras, cam_idx,
+                                   clipseg_coords)["clipseg"]
+            res["clipseg"] = c.reshape(-1, c.shape[-1])[:1024].reshape(
+                32, 32, -1)
         return res
+
+    if sam is None:
+        @jax.jit
+        def frame(params, cameras, cam_idx):
+            return render_all(params, cameras, cam_idx)
+        return frame
+
+    from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
+
+    @jax.jit
+    def frame(params, dec_params, cameras, cam_idx, coords, labels):
+        out = render_all(params, cameras, cam_idx)
+        feat = out["sam"]
+        pad_r = 64 - feat.shape[0]
+        pad_c = 64 - feat.shape[1]
+        feat = jnp.pad(feat, ((0, pad_r), (0, pad_c), (0, 0)))
+        low_res, _ = sam.apply(dec_params, feat[None], (coords, labels),
+                               None, None, False, method=Sam.decode_masks)
+        masks = postprocess_masks(low_res, (1024, 1024), (h, w),
+                                  sam.image_encoder.img_size)
+        mask = masks[0, 0] > 0.0
+        rgb = out["rgb"]
+        overlay = jnp.where(mask[..., None],
+                            0.5 * rgb + 0.5 * jnp.asarray([1.0, 0.0, 0.0]),
+                            rgb)
+        out["masked_rgb"] = jnp.clip(overlay, 0.0, 1.0)
+        return out
 
     return frame

@@ -336,7 +336,7 @@ def _bwd_call(positions_t, g, *, plan, num_steps, num_packed, num_levels,
 #   point-tile sweep, with the scatter expressed as chunked one-hot
 #   matmuls on the MXU (batched over the 8 parity classes).
 
-V2_UNROLL = 8          # fwd scan steps per fori iteration
+V2_SLAB = 32           # fwd scan steps per grid slab (static slices inside)
 V2_BWD_CHUNK = 64      # bwd one-hot matmul rows per chunk
 
 
@@ -347,6 +347,7 @@ def _plan_meta(plan, num_steps: int, num_packed: int):
     scale f32 [PL, 1].
     """
     num_levels = len(plan)
+    slab = min(V2_SLAB, num_steps)
     bwd_chunk = min(V2_BWD_CHUNK, num_steps)
     meta = np.zeros((num_packed * num_levels, 4), np.int32)
     scale = np.zeros((num_packed * num_levels, 1), np.float32)
@@ -357,67 +358,88 @@ def _plan_meta(plan, num_steps: int, num_packed: int):
                 steps_l = min(num_steps, -(-(half ** 3) // LANES))
             row = p * num_levels + l
             meta[row] = (1 if dense else 0, half,
-                         -(-steps_l // V2_UNROLL), -(-steps_l // bwd_chunk))
+                         -(-steps_l // slab), -(-steps_l // bwd_chunk))
             scale[row, 0] = s
     return jnp.asarray(meta), jnp.asarray(scale)
 
 
-def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref, *,
-                   num_steps: int, tile: int):
-    """Blocks: meta [PL, 4] / scale [PL, 1] (SMEM, full), pos [8, tile],
-    table [1, num_steps*8, 128] (this (pack, level)'s rows),
-    out [1, 2, tile] (internal layout [PL, 2, N]; the feature dim is kept
-    full-size so the block satisfies the TPU (8,128)-divisibility rule)."""
+def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
+                   lo_s, hi_s, w_s, *, num_steps: int, tile: int,
+                   slab: int):
+    """grid (PL, tiles, slabs).  Blocks: meta [PL, 4] / scale [PL, 1]
+    (SMEM, full), pos [8, tile] (constant in s), table [1, slab*8, 128]
+    (the s-th slab of (pack, level) l — STATIC in-slab slices so Mosaic
+    register-allocates the scan), out [1, 2, tile] accumulated in VMEM
+    across the slab sweep.  Scratch lo/hi/w [8, tile] cache the corner
+    index math, computed once per (l, i) at s == 0.
+
+    A (point, corner) matches exactly one row-group in the whole table,
+    so per-slab contributions are disjoint and the weighted partial sums
+    accumulate exactly."""
     pid = pl.program_id(0)
+    s_id = pl.program_id(2)
     dense = meta_ref[pid, 0]
     half = meta_ref[pid, 1]
-    n_chunks = meta_ref[pid, 2]
+    n_slabs_l = meta_ref[pid, 2]
     scale = scale_ref[pid, 0]
 
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, LANES), 0)
-    s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
-
-    for j in range(tile // LANES):
-        cols = slice(j * LANES, (j + 1) * LANES)
-        x = pos_ref[0:1, cols]
-        y = pos_ref[1:2, cols]
-        z = pos_ref[2:3, cols]
+    @pl.when(s_id == 0)
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
         lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
                                            num_steps, s0, s1, s2)
+        lo_s[...] = lo
+        hi_s[...] = hi
+        w_s[...] = w
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-        def chunk(b, acc):
-            for u in range(V2_UNROLL):
-                t = b * V2_UNROLL + u
-                src = table_ref[0, pl.ds(t * PARITIES, PARITIES), :]
+    @pl.when(s_id < n_slabs_l)
+    def _scan_slab():
+        base = s_id * slab
+        for j in range(tile // LANES):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols]
+            hi = hi_s[:, cols] - base     # in-slab step index
+            w = w_s[:, cols]
+            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+            for u in range(slab):
+                src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
                 g = jnp.take_along_axis(src, lo, axis=1)
-                acc = jnp.where(hi == t, g, acc)
-            return acc
-
-        acc = jax.lax.fori_loop(
-            0, n_chunks, chunk, jnp.zeros((PARITIES, LANES), jnp.float32))
-        bits = pltpu.bitcast(acc, jnp.uint32)
-        f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-        f1 = pltpu.bitcast(bits << 16, jnp.float32)
-        out_ref[0, 0:1, cols] = jnp.sum(f0 * w, axis=0, keepdims=True)
-        out_ref[0, 1:2, cols] = jnp.sum(f1 * w, axis=0, keepdims=True)
+                acc = jnp.where(hi == u, g, acc)
+            bits = pltpu.bitcast(acc, jnp.uint32)
+            f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+            f1 = pltpu.bitcast(bits << 16, jnp.float32)
+            out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
+            out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
 
 def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile):
     pl_rows = packed_table.shape[0]
     n = positions_t.shape[1]
-    kern = functools.partial(_fwd_kernel_v2, num_steps=num_steps, tile=tile)
+    slab = min(V2_SLAB, num_steps)
+    kern = functools.partial(_fwd_kernel_v2, num_steps=num_steps, tile=tile,
+                             slab=slab)
     return pl.pallas_call(
         kern,
-        grid=(pl_rows, n // tile),
+        grid=(pl_rows, n // tile, num_steps // slab),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, tile), lambda l, i: (0, i)),
-            pl.BlockSpec((1, num_steps * PARITIES, LANES),
-                         lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((8, tile), lambda l, i, s: (0, i)),
+            pl.BlockSpec((1, slab * PARITIES, LANES),
+                         lambda l, i, s: (l, s, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i: (l, 0, i)),
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, s: (l, 0, i)),
         out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),
+        ],
     )(meta, scale, positions_t, packed_table)
 
 
