@@ -44,6 +44,7 @@ class DataparserOutputs:
     dataparser_scale: float
     dataparser_transform: np.ndarray  # [3, 4]
     downscale_factor: int = 1
+    mask_filenames: Optional[List[Path]] = None
 
 
 def _rotation_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:

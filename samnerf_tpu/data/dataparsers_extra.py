@@ -441,3 +441,139 @@ dataparser_registry.update({
     "dycheck-data": parse_dycheck_data,
     "sitcoms3d-data": parse_sitcoms3d_data,
 })
+
+
+# --- NuScenes ------------------------------------------------------------------
+
+
+def _quat_to_rot(q) -> np.ndarray:
+    """Scalar-first (w, x, y, z) unit quaternion -> 3x3 rotation matrix
+    (the convention the NuScenes devkit's pyquaternion uses,
+    ``nuscenes_dataparser.py:37-49``)."""
+    w, x, y, z = (float(v) for v in q)
+    n = (w * w + x * x + y * y + z * z) ** 0.5
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _nusc_pose(rotation, translation) -> np.ndarray:
+    pose = np.eye(4)
+    pose[:3, :3] = _quat_to_rot(rotation)
+    pose[:3, 3] = translation
+    return pose
+
+
+@dataclasses.dataclass
+class NuScenesDataparserConfig:
+    """``nuscenes_dataparser.py:53-80``.  ``data`` is the scene name
+    (e.g. "scene-0103"); ``data_dir`` the dataset root.  Instead of the
+    nuscenes devkit (absent here) the relational table JSONs under
+    ``<data_dir>/<version>/`` are read directly — the devkit is only a
+    loader for those same files."""
+    data: str = "scene-0103"
+    data_dir: Path = Path("/mnt/local/NuScenes")
+    version: str = "v1.0-mini"
+    cameras: tuple = ("FRONT",)
+    mask_dir: Optional[Path] = None
+    train_split_fraction: float = 0.9
+
+
+def parse_nuscenes_data(config: NuScenesDataparserConfig,
+                        split: str = "train") -> DataparserOutputs:
+    """``nuscenes_dataparser.py:85-218``: ego@cam poses, opencv->nerfstudio
+    axis shuffles, pose centering + max-abs scaling, equally-spaced train
+    split, fixed unit scene box."""
+    import math
+
+    root = Path(config.data_dir)
+    tdir = root / config.version
+
+    def table(name):
+        return {r["token"]: r
+                for r in json.loads((tdir / f"{name}.json").read_text())}
+
+    scenes = json.loads((tdir / "scene.json").read_text())
+    sample_t = table("sample")
+    sample_data = json.loads((tdir / "sample_data.json").read_text())
+    calib_t = table("calibrated_sensor")
+    ego_t = table("ego_pose")
+    sensor_t = table("sensor")
+
+    scene = next(s for s in scenes if s["name"] == str(config.data))
+    samples = [s for s in sample_t.values()
+               if s["scene_token"] == scene["token"]]
+    samples.sort(key=lambda s: (s["scene_token"], s["timestamp"]))
+    cam_names = ["CAM_" + c for c in config.cameras]
+    assert len(cam_names) == 1, "waiting on multiple camera support"
+
+    # key-frame sample_data rows per (sample, channel)
+    by_sample = {}
+    for sd in sample_data:
+        if not sd["is_key_frame"]:
+            continue
+        calib = calib_t[sd["calibrated_sensor_token"]]
+        channel = sensor_t[calib["sensor_token"]]["channel"]
+        if channel in cam_names:
+            by_sample[(sd["sample_token"], channel)] = sd
+
+    transform1 = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                           [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+    transform2 = np.array([[0, 0, 1, 0], [0, 1, 0, 0],
+                           [-1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+
+    image_filenames, mask_filenames, intrinsics, poses = [], [], [], []
+    for sample in samples:
+        for channel in cam_names:
+            sd = by_sample[(sample["token"], channel)]
+            calib = calib_t[sd["calibrated_sensor_token"]]
+            ego = ego_t[sd["ego_pose_token"]]
+            pose = (_nusc_pose(ego["rotation"], ego["translation"])
+                    @ _nusc_pose(calib["rotation"], calib["translation"]))
+            pose = transform1 @ pose
+            pose[0:3, 1:3] *= -1
+            pose = pose[np.array([1, 0, 2, 3]), :]
+            pose[2, :] *= -1
+            pose = transform2 @ pose
+            image_filenames.append(root / sd["filename"])
+            if config.mask_dir is not None:
+                name = Path(sd["filename"]).name.replace("jpg", "png")
+                mask_filenames.append(
+                    Path(config.mask_dir) / "masks" / channel / name)
+            intrinsics.append(np.asarray(calib["camera_intrinsic"],
+                                         np.float32))
+            poses.append(pose)
+
+    poses = np.stack(poses).astype(np.float32)
+    intrinsics = np.stack(intrinsics)
+    poses[:, :3, 3] -= poses[:, :3, 3].mean(axis=0)
+    poses[:, :3, 3] /= np.abs(poses[:, :3, 3]).max()
+
+    num = len(samples)
+    n_train = math.ceil(num * config.train_split_fraction)
+    i_train = np.linspace(0, num - 1, n_train, dtype=int)
+    i_eval = np.setdiff1d(np.arange(num), i_train)
+    indices = i_train if split == "train" else i_eval
+
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses[indices, :3, :4]),
+        fx=jnp.asarray(intrinsics[indices, 0, 0][:, None]),
+        fy=jnp.asarray(intrinsics[indices, 1, 1][:, None]),
+        cx=jnp.asarray(intrinsics[indices, 0, 2][:, None]),
+        cy=jnp.asarray(intrinsics[indices, 1, 2][:, None]),
+        width=1600, height=900)
+    return DataparserOutputs(
+        image_filenames=[image_filenames[i] for i in indices],
+        cameras=cameras,
+        scene_box_aabb=np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+                                  np.float32),
+        dataparser_scale=1.0,
+        dataparser_transform=np.eye(4, dtype=np.float32)[:3],
+        mask_filenames=([mask_filenames[i] for i in indices]
+                        if config.mask_dir is not None else None))
+
+
+dataparser_registry["nuscenes-data"] = parse_nuscenes_data

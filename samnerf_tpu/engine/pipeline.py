@@ -40,6 +40,7 @@ class VanillaPipeline:
         self.renderer = ImageRenderer(model)
         self._loss_fn = jax.jit(self._losses)
         self._eval_loss_fn = jax.jit(self._eval_losses)
+        self._lpips_params = None  # lazily loaded (weight-gated)
 
     # --- train (base_pipeline.py:256-279) -----------------------------------
     def _losses(self, params, batch, rng):
@@ -95,6 +96,14 @@ class VanillaPipeline:
             "ssim": float(ssim(pred, gt)),
             "num_rays": h * w,
         }
+        # lpips when pretrained weights are supplied (nerfacto.py:231-234;
+        # zero-egress env ships none — see metrics.load_lpips_params)
+        if self._lpips_params is None:
+            from samnerf_tpu.utils.metrics import load_lpips_params
+            self._lpips_params = load_lpips_params() or "absent"
+        if self._lpips_params != "absent":
+            from samnerf_tpu.utils.metrics import lpips
+            metrics["lpips"] = float(lpips(pred, gt, self._lpips_params))
         images = {"img": np.concatenate([np.asarray(gt), out["rgb"]], axis=1),
                   "depth": out["depth"], "accumulation": out["accumulation"]}
         return metrics, images

@@ -42,7 +42,7 @@ class SAMModelConfig:
     hidden_dim_color: int = 64
     num_levels: int = 16
     max_res: int = 2048
-    log2_hashmap_size: int = 15
+    log2_hashmap_size: int = 19
     use_appearance_embedding: bool = False
     # proposal sampling (samconfigs.py:138-141: 1 iter, 64 prop, 32 nerf)
     num_proposal_samples_per_ray: Tuple[int, ...] = (64,)
@@ -55,8 +55,8 @@ class SAMModelConfig:
     use_single_jitter: bool = True
     # proposal net args (nerfacto.py:103-108)
     proposal_net_args: Tuple[Dict[str, Any], ...] = (
-        {"hidden_dim": 16, "log2_hashmap_size": 13, "num_levels": 5, "max_res": 128},
-        {"hidden_dim": 16, "log2_hashmap_size": 13, "num_levels": 5, "max_res": 256},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 128},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 256},
     )
     # losses (nerfacto.py:112-115, sam_model.py:143-147)
     interlevel_loss_mult: float = 1.0
@@ -73,7 +73,7 @@ class SAMModelConfig:
     hidden_layers: int = 1
     hashgrid_layers: Tuple[int, ...] = (12, 12)
     hashgrid_resolutions: Tuple[Tuple[int, int], ...] = ((16, 128), (128, 512))
-    hashgrid_sizes: Tuple[int, ...] = (15, 15)
+    hashgrid_sizes: Tuple[int, ...] = (19, 19)
     patch_size: int = 4
     kernel_size: int = 3
     # runtime

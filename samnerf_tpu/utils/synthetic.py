@@ -59,6 +59,129 @@ def render_gt_image(c2w, fx, fy, cx, cy, h, w):
     return (img * 255).astype(np.uint8), hit
 
 
+_SPHERES = (  # center, radius, (color_a, color_b), texture frequency
+    (np.array([0.0, 0.0, 0.35]), 0.35,
+     (np.array([0.85, 0.2, 0.15]), np.array([0.95, 0.85, 0.2])), 6.0),
+    (np.array([0.5, -0.3, 0.15]), 0.15,
+     (np.array([0.2, 0.35, 0.9]), np.array([0.9, 0.9, 0.95])), 10.0),
+    (np.array([-0.45, 0.35, 0.2]), 0.2,
+     (np.array([0.2, 0.75, 0.3]), np.array([0.6, 0.25, 0.7])), 8.0),
+)
+
+
+def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w):
+    """Analytic render of a structured scene: three procedurally-textured
+    spheres on a checkerboard ground plane with a gradient sky.  Harder
+    quality fixture than the single flat ball (fine texture exercises the
+    fine hash levels), still fully deterministic with exact ground truth.
+    Returns (uint8 image, hit mask of the primary sphere)."""
+    yy, xx = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+    dirs_cam = np.stack([(xx - cx) / fx, -(yy - cy) / fy, -np.ones_like(xx)], -1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs.reshape(-1, 3)
+    origins = np.broadcast_to(c2w[:3, 3], dirs.shape)
+
+    best_t = np.full(dirs.shape[0], 1e6)
+    # gradient sky by elevation
+    img = (np.array([0.55, 0.65, 0.9])[None]
+           + 0.3 * dirs[:, 2:3] * np.array([0.3, 0.2, -0.2])[None])
+
+    # ground plane z = 0, checkerboard
+    tz = np.where(dirs[:, 2] < -1e-6,
+                  -origins[:, 2] / np.where(np.abs(dirs[:, 2]) < 1e-6, 1e-6,
+                                            dirs[:, 2]), 1e6)
+    pz = origins + tz[:, None] * dirs
+    in_plane = (tz > 0) & (np.abs(pz[:, 0]) < 1.6) & (np.abs(pz[:, 1]) < 1.6)
+    checker = ((np.floor(pz[:, 0] * 3) + np.floor(pz[:, 1] * 3)) % 2)
+    plane_col = np.where(checker[:, None] > 0.5,
+                         np.array([0.85, 0.85, 0.8])[None],
+                         np.array([0.25, 0.22, 0.2])[None])
+    use = in_plane & (tz < best_t)
+    img = np.where(use[:, None], plane_col, img)
+    best_t = np.where(use, tz, best_t)
+
+    primary_hit = None
+    for center, rad, (ca, cb), freq in _SPHERES:
+        hit, t = ray_sphere_hit(origins, dirs, radius=rad, center=center)
+        p = origins + t[:, None] * dirs - center
+        theta = np.arctan2(p[:, 1], p[:, 0])
+        phi = np.arccos(np.clip(p[:, 2] / rad, -1, 1))
+        stripe = (np.sin(freq * theta) * np.sin(freq * phi)) > 0
+        col = np.where(stripe[:, None], ca[None], cb[None])
+        # simple lambertian shading from a fixed light
+        light = np.array([0.5, -0.7, 0.9])
+        light = light / np.linalg.norm(light)
+        n = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+        shade = 0.4 + 0.6 * np.clip(n @ light, 0, 1)
+        col = col * shade[:, None]
+        use = hit & (t < best_t)
+        img = np.where(use[:, None], col, img)
+        best_t = np.where(use, t, best_t)
+        if primary_hit is None:       # mask of the first (primary) sphere
+            primary_hit = use
+
+    img = np.clip(img, 0.0, 1.0).reshape(h, w, 3)
+    return (img * 255).astype(np.uint8), primary_hit.reshape(h, w)
+
+
+def write_textured_scene(out_dir: Path, num_train: int = 24,
+                         num_test: int = 4, h: int = 128, w: int = 128,
+                         radius: float = 2.2,
+                         with_features: bool = False,
+                         feature_long_side: int = 16) -> Path:
+    """Write the structured textured scene in samnerf layout (two camera
+    rings at different elevations for better coverage)."""
+    from PIL import Image
+    out_dir = Path(out_dir)
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    if with_features:
+        (out_dir / "sam_features").mkdir(exist_ok=True)
+        (out_dir / "clipseg_features").mkdir(exist_ok=True)
+    fx = fy = 0.9 * w
+    cx, cy = w / 2.0, h / 2.0
+    n_total = num_train + num_test
+    frames = []
+    for i in range(n_total):
+        ang = 2 * np.pi * i / n_total
+        elev = 0.7 if i % 2 == 0 else 1.3
+        pos = np.array([radius * np.cos(ang), radius * np.sin(ang), elev])
+        c2w = look_at_c2w(pos, np.array([0.0, 0.0, 0.25]))
+        img, hit = render_gt_image_textured(c2w, fx, fy, cx, cy, h, w)
+        name = f"frame_{i:05d}.png"
+        Image.fromarray(img).save(out_dir / "images" / name)
+        frames.append({"file_path": f"images/{name}",
+                       "transform_matrix": c2w.tolist()})
+        if with_features:
+            fh = (int(np.ceil(h / w * feature_long_side)) if h < w
+                  else feature_long_side)
+            fw = (feature_long_side if h <= w
+                  else int(np.ceil(w / h * feature_long_side)))
+            ys = np.linspace(0, h - 1, fh).astype(int)
+            xs = np.linspace(0, w - 1, fw).astype(int)
+            sub_hit = hit[np.ix_(ys, xs)]
+            feat = np.where(sub_hit[None], 1.0, -1.0) * np.ones((256, 1, 1))
+            np.save(out_dir / "sam_features" / f"frame_{i:05d}.npy",
+                    feat.astype(np.float32))
+            import torch
+            ys32 = np.linspace(0, h - 1, 32).astype(int)
+            xs32 = np.linspace(0, w - 1, 32).astype(int)
+            g = hit[np.ix_(ys32, xs32)].astype(np.float32) * 2 - 1
+            acts = [torch.from_numpy(
+                np.concatenate([np.zeros((1, 1, 64), np.float32),
+                                np.repeat(g.reshape(1024, 1, 1), 64,
+                                          axis=2)]))
+                for _ in range(3)]
+            torch.save({"activations": acts, "visual_q": None},
+                       out_dir / "clipseg_features" / f"frame_{i:05d}.pt")
+    meta = {"fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy, "h": h, "w": w}
+    (out_dir / "transforms_train.json").write_text(
+        json.dumps(dict(meta, frames=frames[:num_train])))
+    (out_dir / "transforms_test.json").write_text(
+        json.dumps(dict(meta, frames=frames[num_train:])))
+    return out_dir
+
+
 def write_scene(out_dir: Path, num_train: int = 8, num_test: int = 2,
                 h: int = 64, w: int = 64, radius: float = 2.0,
                 with_features: bool = False, feature_long_side: int = 16,

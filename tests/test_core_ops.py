@@ -257,3 +257,64 @@ def test_masked_feature_mse_ignores_nan():
     tgt[0] = 3.0  # mse 4 on row 0, rows 1,3 zero -> mean over 3 valid rows
     v2 = float(L.masked_feature_mse(pred, jnp.asarray(tgt)))
     np.testing.assert_allclose(v2, 4.0 / 3.0, rtol=1e-6)
+
+
+def test_lpips_structure_random_weights():
+    """LPIPS jax implementation: zero for identical images, positive and
+    monotonically increasing with perturbation strength (random weights —
+    the env has no pretrained VGG; real weights load via
+    metrics.load_lpips_params)."""
+    import numpy as np
+
+    from samnerf_tpu.utils import metrics as M
+
+    rng = np.random.RandomState(0)
+    convs = []
+    cin = 3
+    for c in M._VGG_CFG:
+        if c == "M":
+            continue
+        convs.append((rng.randn(3, 3, cin, c).astype(np.float32) * 0.1,
+                      np.zeros(c, np.float32)))
+        cin = c
+    conv_chans = [c for c in M._VGG_CFG if c != "M"]
+    taps_c = [conv_chans[i] for i in M._TAPS]
+    lins = [np.abs(rng.randn(c, 1).astype(np.float32)) for c in taps_c]
+    params = {"convs": convs, "lins": lins}
+
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    d0 = float(M.lpips(jnp.asarray(img), jnp.asarray(img), params))
+    assert abs(d0) < 1e-6
+    noise = rng.randn(64, 64, 3).astype(np.float32)
+    d1 = float(M.lpips(jnp.asarray(img),
+                       jnp.asarray(np.clip(img + 0.05 * noise, 0, 1)), params))
+    d2 = float(M.lpips(jnp.asarray(img),
+                       jnp.asarray(np.clip(img + 0.3 * noise, 0, 1)), params))
+    assert 0 < d1 < d2
+
+
+def test_lpips_weight_converter_shapes():
+    """convert_lpips_weights maps torchvision vgg16 + lpips lin state dicts
+    into the jax param tree (torchvision conv layer indices)."""
+    import numpy as np
+
+    from samnerf_tpu.utils import metrics as M
+
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans = [c for c in M._VGG_CFG if c != "M"]
+    vgg_sd = {}
+    cin = 3
+    for idx, c in zip(conv_idx, chans):
+        vgg_sd[f"features.{idx}.weight"] = np.zeros((c, cin, 3, 3),
+                                                    np.float32)
+        vgg_sd[f"features.{idx}.bias"] = np.zeros(c, np.float32)
+        cin = c
+    taps_c = [chans[i] for i in M._TAPS]
+    lin_sd = {f"lin{i}.model.1.weight": np.ones((1, c, 1, 1), np.float32)
+              for i, c in enumerate(taps_c)}
+    params = M.convert_lpips_weights(vgg_sd, lin_sd)
+    assert len(params["convs"]) == 13
+    assert params["convs"][0][0].shape == (3, 3, 3, 64)
+    assert params["convs"][-1][0].shape == (3, 3, 512, 512)
+    assert [l.shape for l in params["lins"]] == [
+        (64, 1), (128, 1), (256, 1), (512, 1), (512, 1)]

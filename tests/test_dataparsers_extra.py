@@ -137,3 +137,60 @@ def test_full_registry():
     assert set(dpe.dataparser_registry) >= {
         "phototourism-data", "sdfstudio-data", "scannet-data",
         "arkitscenes-data", "dycheck-data", "sitcoms3d-data"}
+
+
+def test_nuscenes_dataparser(tmp_path):
+    """NuScenes parsed straight from the relational table JSONs (the devkit
+    is only a loader for these): ego@cam pose composition, axis shuffles,
+    centering + max-abs scaling, equally-spaced split
+    (reference nuscenes_dataparser.py:85-218)."""
+    import json
+
+    from samnerf_tpu.data.dataparsers_extra import (
+        NuScenesDataparserConfig, parse_nuscenes_data)
+
+    root = tmp_path
+    tdir = root / "v1.0-mini"
+    tdir.mkdir()
+    n = 10
+    scenes = [{"token": "sc0", "name": "scene-0001"}]
+    samples, sample_data, ego, calib = [], [], [], []
+    sensor = [{"token": "se0", "channel": "CAM_FRONT", "modality": "camera"}]
+    for i in range(n):
+        samples.append({"token": f"s{i}", "scene_token": "sc0",
+                        "timestamp": 1000 + i,
+                        "data": {"CAM_FRONT": f"sd{i}"}})
+        ego.append({"token": f"e{i}",
+                    "rotation": [1.0, 0.0, 0.0, 0.0],
+                    "translation": [float(i), 0.0, 1.5]})
+        calib.append({"token": f"c{i}", "sensor_token": "se0",
+                      "rotation": [0.5, -0.5, 0.5, -0.5],
+                      "translation": [1.5, 0.0, 1.6],
+                      "camera_intrinsic": [[1266.0, 0.0, 800.0],
+                                           [0.0, 1266.0, 450.0],
+                                           [0.0, 0.0, 1.0]]})
+        sample_data.append({"token": f"sd{i}", "sample_token": f"s{i}",
+                            "ego_pose_token": f"e{i}",
+                            "calibrated_sensor_token": f"c{i}",
+                            "is_key_frame": True,
+                            "filename": f"samples/CAM_FRONT/img_{i}.jpg"})
+    (tdir / "scene.json").write_text(json.dumps(scenes))
+    (tdir / "sample.json").write_text(json.dumps(samples))
+    (tdir / "sample_data.json").write_text(json.dumps(sample_data))
+    (tdir / "ego_pose.json").write_text(json.dumps(ego))
+    (tdir / "calibrated_sensor.json").write_text(json.dumps(calib))
+    (tdir / "sensor.json").write_text(json.dumps(sensor))
+
+    cfg = NuScenesDataparserConfig(data="scene-0001", data_dir=root,
+                                   version="v1.0-mini")
+    train = parse_nuscenes_data(cfg, "train")
+    test = parse_nuscenes_data(cfg, "test")
+    assert len(train.image_filenames) == 9 and len(test.image_filenames) == 1
+    assert train.cameras.width == 1600 and train.cameras.height == 900
+    # poses are centered and max-abs-scaled to <= 1
+    t = np.asarray(train.cameras.camera_to_worlds)[:, :, 3]
+    assert np.abs(t).max() <= 1.0 + 1e-5
+    assert float(np.asarray(train.cameras.fx)[0, 0]) == 1266.0
+    # rotations stay orthonormal through the axis shuffles
+    R = np.asarray(train.cameras.camera_to_worlds)[0, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
