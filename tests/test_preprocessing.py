@@ -1,7 +1,9 @@
 """llff2nerf conversion test on a synthetic poses_bounds.npy."""
 import json
+from pathlib import Path
 
 import numpy as np
+import pytest
 
 from samnerf_tpu.preprocessing.llff2nerf import (closest_point_2_lines,
                                                  convert_llff, rotmat)
@@ -70,3 +72,67 @@ def test_convert_llff_roundtrip(tmp_path):
     out = parse_nerfstudio_data(DataparserConfig(
         data=tmp_path, train_val_json_split=True), "train")
     assert out.cameras.num_cameras == 4
+
+
+def test_metashape_to_json(tmp_path):
+    """Metashape XML -> transforms.json (metashape_utils.py:37-143):
+    sensor calibration + the row-shuffle into nerfstudio axes."""
+    from samnerf_tpu.preprocessing.converters import metashape_to_json
+
+    xml = """<document><chunk>
+      <sensors>
+        <sensor id="0"><resolution width="640" height="480"/>
+          <calibration><f>500.0</f><cx>2.0</cx><cy>-3.0</cy>
+            <k1>0.01</k1></calibration></sensor>
+      </sensors>
+      <cameras>
+        <camera id="0" sensor_id="0" label="img_a.jpg">
+          <transform>1 0 0 0.5 0 1 0 0.25 0 0 1 2.0 0 0 0 1</transform>
+        </camera>
+        <camera id="1" sensor_id="0" label="img_b"/>
+      </cameras>
+    </chunk></document>"""
+    (tmp_path / "cameras.xml").write_text(xml)
+    summary = metashape_to_json(
+        {"img_a": Path("images/img_a.jpg"),
+         "img_b": Path("images/img_b.jpg")},
+        tmp_path / "cameras.xml", tmp_path)
+    data = json.loads((tmp_path / "transforms.json").read_text())
+    assert data["w"] == 640 and data["h"] == 480
+    assert data["fl_x"] == 500.0 and data["cx"] == 322.0 and data["cy"] == 237.0
+    assert data["k1"] == 0.01
+    assert len(data["frames"]) == 1            # img_b skipped (no transform)
+    t = np.array(data["frames"][0]["transform_matrix"])
+    # identity rotation maps to the (z,x,y) row shuffle with y/z negation
+    np.testing.assert_allclose(t[0], [0, 0, -1, 2.0])
+    np.testing.assert_allclose(t[1], [1, 0, 0, 0.5])
+    np.testing.assert_allclose(t[2], [0, -1, 0, 0.25])
+    assert "1 images skipped" in summary[0]
+
+
+def test_realitycapture_to_json(tmp_path):
+    """RealityCapture CSV -> transforms.json (realitycapture_utils.py:31-118):
+    35mm-equivalent focals, euler pose composition."""
+    from samnerf_tpu.preprocessing.converters import realitycapture_to_json
+
+    csv_text = ("#name,x,y,alt,heading,pitch,roll,f,px,py,"
+                "k1,k2,k3,k4,t1,t2\n"
+                "shot1.jpg,1.0,2.0,3.0,90.0,0.0,0.0,36.0,0.0,0.0,"
+                "0,0,0,0,0,0\n")
+    (tmp_path / "poses.csv").write_text(csv_text)
+    realitycapture_to_json({"shot1": Path("images/shot1.jpg")},
+                           tmp_path / "poses.csv", tmp_path,
+                           image_size=(480, 640))
+    data = json.loads((tmp_path / "transforms.json").read_text())
+    f = data["frames"][0]
+    assert data["w"] == 640 and f["fl_x"] == 36.0 * 640 / 36
+    t = np.array(f["transform_matrix"])
+    np.testing.assert_allclose(t[:3, 3], [1.0, 2.0, 3.0])
+    # heading=90 negated -> Rz(-90): x-axis maps to (0,-1,0)
+    np.testing.assert_allclose(t[:3, 0], [0, -1, 0], atol=1e-12)
+
+
+def test_run_hloc_gated():
+    from samnerf_tpu.preprocessing.converters import run_hloc
+    with pytest.raises(ImportError, match="hloc"):
+        run_hloc(Path("/tmp/x"), Path("/tmp/y"))
