@@ -126,8 +126,12 @@ def main():
     print(json.dumps({
         "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
-        "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip)",
+        "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip, "
+                "REFERENCE-capacity 2^19/2^17 hash tables)",
         "vs_baseline": round(fps / 3.75, 4),
+        "tables": f"2^{cfg.log2_hashmap_size} fields / "
+                  f"2^{cfg.proposal_net_args[0]['log2_hashmap_size']} props",
+        "sharded_v5e8_fps_extrapolated": round(fps * 7.5, 2),
     }))
 
 

@@ -9,9 +9,10 @@ self-contained:
 - TSDF fusion: dense voxel grid integrated in jnp (one jit per view);
 - mesh extraction: marching *tetrahedra* (6 tets/cube) — table-free and
   watertight, standing in for open3d's marching cubes;
-- poisson reconstruction is NOT implemented (needs a sparse solver);
-  ``export_poisson`` raises with a pointer to the TSDF path, mirroring
-  how the reference gates on open3d being installed.
+- poisson reconstruction: dense-grid screened Poisson solved with
+  conjugate gradients in jnp (open3d's octree FEM redesigned for dense
+  TPU tensors; resolution-bounded) + the same marching-tetrahedra
+  extraction.
 """
 from __future__ import annotations
 
@@ -231,9 +232,144 @@ def marching_tetrahedra(values: np.ndarray, aabb: np.ndarray,
     return np.asarray(verts), np.asarray(faces, np.int64)
 
 
-def export_poisson(*args, **kwargs):
-    raise NotImplementedError(
-        "Poisson surface reconstruction requires a sparse FEM solver "
-        "(open3d in the reference, `scripts/exporter.py:183-244`); use "
-        "the TSDF + marching-tetrahedra path (`tsdf_integrate` + "
-        "`marching_tetrahedra`) instead.")
+def depth_to_oriented_points(depth: np.ndarray, accumulation: np.ndarray,
+                             intrin: np.ndarray, c2w: np.ndarray,
+                             min_accumulation: float = 0.5):
+    """Back-project a depth map to oriented points for Poisson meshing
+    (the reference gets normals from open3d's point-cloud estimator;
+    here they come from image-space depth-gradient cross products,
+    flipped to face the camera).  Returns (points [M,3], normals [M,3])."""
+    depth = depth[..., 0] if depth.ndim == 3 else depth
+    acc = accumulation[..., 0] if accumulation.ndim == 3 else accumulation
+    h, w = depth.shape
+    fx, fy = intrin[0, 0], intrin[1, 1]
+    cx, cy = intrin[0, 2], intrin[1, 2]
+    yy, xx = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
+                         indexing="ij")
+    dirs_cam = np.stack([(xx - cx) / fx, -(yy - cy) / fy,
+                         -np.ones_like(xx)], -1)
+    dirs = dirs_cam @ np.asarray(c2w)[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = np.asarray(c2w)[:3, 3][None, None] + depth[..., None] * dirs
+
+    dpdx = np.gradient(pts, axis=1)
+    dpdy = np.gradient(pts, axis=0)
+    n = np.cross(dpdx, dpdy)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    to_cam = np.asarray(c2w)[:3, 3][None, None] - pts
+    flip = np.sum(n * to_cam, axis=-1, keepdims=True) < 0
+    n = np.where(flip, -n, n)
+
+    keep = acc > min_accumulation
+    return pts[keep], n[keep]
+
+
+def _splat_trilinear(grid: jax.Array, pts01: jax.Array,
+                     vals: jax.Array) -> jax.Array:
+    """Trilinear scatter-add of per-point values into [N,N,N,C]."""
+    n = grid.shape[0]
+    p = pts01 * (n - 1)
+    f = jnp.floor(p)
+    d = p - f
+    base = f.astype(jnp.int32)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = (jnp.where(cx, d[:, 0], 1 - d[:, 0])
+                     * jnp.where(cy, d[:, 1], 1 - d[:, 1])
+                     * jnp.where(cz, d[:, 2], 1 - d[:, 2]))
+                idx = jnp.clip(base + jnp.array([cx, cy, cz]), 0, n - 1)
+                grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].add(
+                    w[:, None] * vals)
+    return grid
+
+
+def _sample_trilinear(grid: jax.Array, pts01: jax.Array) -> jax.Array:
+    n = grid.shape[0]
+    p = pts01 * (n - 1)
+    f = jnp.floor(p)
+    d = p - f
+    base = f.astype(jnp.int32)
+    out = 0.0
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = (jnp.where(cx, d[:, 0], 1 - d[:, 0])
+                     * jnp.where(cy, d[:, 1], 1 - d[:, 1])
+                     * jnp.where(cz, d[:, 2], 1 - d[:, 2]))
+                idx = jnp.clip(base + jnp.array([cx, cy, cz]), 0, n - 1)
+                out = out + w * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    return out
+
+
+def poisson_reconstruct(points: np.ndarray, normals: np.ndarray,
+                        aabb: np.ndarray, resolution: int = 96,
+                        screen: float = 4.0, cg_iters: int = 200):
+    """Screened Poisson surface reconstruction on a dense grid.
+
+    TPU-native replacement for open3d's octree Poisson
+    (``nerfstudio/exporter/exporter_utils.py`` via
+    ``scripts/exporter.py:183-244``): solve
+    ``(laplacian - screen*I) chi = div(V)`` where V is the
+    trilinearly-splatted oriented-normal field, using conjugate
+    gradients on dense jnp tensors (every op is a stencil conv - ideal
+    XLA shapes), then extract the isosurface at the mean indicator value
+    over the input samples with :func:`marching_tetrahedra`.
+
+    points [M, 3] world; normals [M, 3] (outward); aabb [2, 3].
+    Returns (vertices [V, 3], faces [F, 3]).
+    """
+    aabb = np.asarray(aabb, np.float32)
+    span = aabb[1] - aabb[0]
+    pts01 = jnp.asarray((points - aabb[0]) / span)
+    nrm = jnp.asarray(normals / (np.linalg.norm(normals, axis=-1,
+                                                keepdims=True) + 1e-12))
+    n = resolution
+    vfield = _splat_trilinear(jnp.zeros((n, n, n, 3)), pts01, nrm)
+
+    # divergence of V (central differences, grid units)
+    def ddx(a, axis):
+        return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * 0.5
+
+    rhs = (ddx(vfield[..., 0], 0) + ddx(vfield[..., 1], 1)
+           + ddx(vfield[..., 2], 2))
+
+    def laplace(x):
+        out = -6.0 * x
+        for ax in (0, 1, 2):
+            out = out + jnp.roll(x, 1, ax) + jnp.roll(x, -1, ax)
+        return out
+
+    alpha = screen / (n * n)
+
+    def A(x):
+        return laplace(x) - alpha * x
+
+    @jax.jit
+    def solve(rhs):
+        def body(i, carry):
+            x, r, p, rs = carry
+            ap = A(p)
+            denom = jnp.sum(p * ap)
+            a = rs / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + a * p
+            r = r - a * ap
+            rs_new = jnp.sum(r * r)
+            beta = rs_new / jnp.where(rs < 1e-20, 1e-20, rs)
+            return x, r, p * beta + r, rs_new
+        x0 = jnp.zeros_like(rhs)
+        x, *_ = jax.lax.fori_loop(0, cg_iters, body,
+                                  (x0, rhs, rhs, jnp.sum(rhs * rhs)))
+        return x
+
+    chi = solve(rhs)
+    iso = float(jnp.mean(_sample_trilinear(chi, pts01)))
+    return marching_tetrahedra(np.asarray(chi - iso), aabb)
+
+
+def export_poisson(path: Path, points: np.ndarray, normals: np.ndarray,
+                   aabb: np.ndarray, resolution: int = 96) -> Path:
+    """Poisson mesh -> OBJ (reference ``scripts/exporter.py:183-244``)."""
+    verts, faces = poisson_reconstruct(points, normals, aabb, resolution)
+    export_obj(Path(path), verts, faces)
+    return Path(path)

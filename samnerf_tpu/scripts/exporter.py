@@ -37,9 +37,6 @@ def main(argv=None) -> int:
     from samnerf_tpu.core.cameras import Cameras
     from samnerf_tpu.utils.eval_utils import eval_setup
 
-    if args.mode == "poisson":
-        ex.export_poisson()
-
     trainer, config = eval_setup(Path(args.run_dir))
     renderer = ImageRenderer(trainer.model)
     focal = 0.5 * args.width / np.tan(np.deg2rad(30.0))
@@ -75,6 +72,20 @@ def main(argv=None) -> int:
         cols = np.concatenate(cols)
         ex.export_ply(Path(args.output), pts, colors=cols)
         print(f"wrote {len(pts)} points to {args.output}")
+    elif args.mode == "poisson":
+        pts, nrms = [], []
+        for out, intrin, c2w in views:
+            p, n = ex.depth_to_oriented_points(
+                out["depth"], out["accumulation"], intrin, c2w,
+                min_accumulation=0.5)
+            pts.append(p)
+            nrms.append(n)
+        pts = np.concatenate(pts)
+        nrms = np.concatenate(nrms)
+        ex.export_poisson(Path(args.output), pts, nrms, aabb,
+                          resolution=args.resolution)
+        print(f"wrote poisson mesh from {len(pts)} oriented points to "
+              f"{args.output}")
     else:  # tsdf
         state = ex.tsdf_init(args.resolution)
         for out, intrin, c2w in views:

@@ -82,6 +82,25 @@ def test_export_obj(tmp_path):
     assert txt.count("v ") == 3 and "f 1 2 3" in txt
 
 
-def test_poisson_gated():
-    with pytest.raises(NotImplementedError):
-        ex.export_poisson()
+def test_poisson_reconstruct_sphere(tmp_path):
+    """Screened-Poisson reconstruction recovers a sphere from oriented
+    point samples (replaces the open3d path, scripts/exporter.py:183-244)."""
+    from samnerf_tpu.exporter.exporter import export_poisson
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(4000, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pts = 0.5 * d             # sphere of radius 0.5
+    normals = d               # outward
+    aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    out = export_poisson(tmp_path / "sphere.obj", pts, normals, aabb,
+                         resolution=48)
+    text = out.read_text()
+    verts = np.array([[float(x) for x in l.split()[1:4]]
+                      for l in text.splitlines() if l.startswith("v ")])
+    faces = sum(1 for l in text.splitlines() if l.startswith("f "))
+    assert len(verts) > 200 and faces > 200
+    r = np.linalg.norm(verts, axis=-1)
+    # the reconstructed surface sits near radius 0.5
+    assert abs(np.median(r) - 0.5) < 0.08, np.median(r)
+    assert np.percentile(np.abs(r - 0.5), 90) < 0.12
