@@ -136,3 +136,42 @@ def test_run_hloc_gated():
     from samnerf_tpu.preprocessing.converters import run_hloc
     with pytest.raises(ImportError, match="hloc"):
         run_hloc(Path("/tmp/x"), Path("/tmp/y"))
+
+
+def test_equirect_to_perspective(tmp_path):
+    """Directional correctness of the equirect sampler: a panorama whose
+    color encodes (lon, lat) must produce crops whose center pixel matches
+    the view direction (replaces equilib's Equi2Pers)."""
+    from samnerf_tpu.preprocessing.equirect_utils import (
+        equirect_to_perspective,
+        generate_planar_projections_from_equirectangular)
+
+    ph, pw = 128, 256
+    lon = (np.arange(pw) + 0.5) / pw            # 0..1 across longitude
+    lat = (np.arange(ph) + 0.5) / ph            # 0..1 top->bottom
+    pano = np.zeros((ph, pw, 3), np.float32)
+    pano[..., 0] = lon[None, :]
+    pano[..., 1] = lat[:, None]
+
+    # forward view (yaw 0, pitch 0): center pixel = lon 0.5, lat 0.5
+    crop = equirect_to_perspective(pano, 90.0, 0.0, 0.0, (64, 64))
+    np.testing.assert_allclose(crop[32, 32, 0], 0.5, atol=0.02)
+    np.testing.assert_allclose(crop[32, 32, 1], 0.5, atol=0.02)
+    # yaw +90deg moves the center a quarter panorama in longitude
+    crop = equirect_to_perspective(pano, 90.0, np.pi / 2, 0.0, (64, 64))
+    np.testing.assert_allclose(crop[32, 32, 0], 0.75, atol=0.02)
+    # pitch up moves toward the top rows (smaller lat channel)
+    crop_up = equirect_to_perspective(pano, 90.0, 0.0, 0.6, (64, 64))
+    assert crop_up[32, 32, 1] < 0.35
+
+    # driver writes crops + metadata
+    from PIL import Image
+    d = tmp_path / "equi"
+    d.mkdir()
+    Image.fromarray((pano * 255).astype(np.uint8)).save(d / "pano.png")
+    out = generate_planar_projections_from_equirectangular(
+        d, (32, 32), samples_per_im=4)
+    crops = list(out.glob("*.png"))
+    assert len(crops) == 4
+    meta = json.loads((out / "projections.json").read_text())
+    assert len(meta) == 4 and all("yaw" in m for m in meta)
