@@ -175,3 +175,49 @@ def test_equirect_to_perspective(tmp_path):
     assert len(crops) == 4
     meta = json.loads((out / "projections.json").read_text())
     assert len(meta) == 4 and all("yaw" in m for m in meta)
+
+
+def test_process_data_utils(tmp_path):
+    """Image listing/subset/copy/downscale + masks
+    (process_data_utils.py equivalents, PIL instead of ffmpeg)."""
+    from PIL import Image
+
+    from samnerf_tpu.preprocessing import process_data_utils as pdu
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in range(7):
+        Image.fromarray(
+            np.full((32, 48, 3), i * 30, np.uint8)).save(src / f"im{i}.png")
+    (src / "notes.txt").write_text("skip me")
+
+    files = pdu.list_images(src)
+    assert len(files) == 7
+    subset, total = pdu.get_image_filenames(src, max_num_images=3)
+    assert total == 7 and len(subset) == 3
+    assert subset[0].name == "im0.png" and subset[-1].name == "im6.png"
+
+    img_dir = tmp_path / "images"
+    mapping = pdu.copy_images(src, img_dir)
+    assert len(mapping) == 7
+    assert (img_dir / "frame_00001.png").exists()
+
+    msg = pdu.downscale_images(img_dir, num_downscales=2)
+    assert "2x, 4x" in msg
+    with Image.open(tmp_path / "images_2" / "frame_00001.png") as im:
+        assert im.size == (24, 16)
+    with Image.open(tmp_path / "images_4" / "frame_00001.png") as im:
+        assert im.size == (12, 8)
+
+    m = pdu.generate_circle_mask(100, 100, 1.0)
+    assert m[50, 50] and not m[0, 0]
+    assert pdu.generate_circle_mask(10, 10, 1.5) is None
+    cm = pdu.generate_crop_mask(100, 100, (0.1, 0.1, 0.0, 0.0))
+    assert not cm[5, 50] and cm[50, 50]
+    assert pdu.generate_crop_mask(10, 10) is None
+
+    # video extraction gated on ffmpeg (absent here)
+    import shutil as _sh
+    if _sh.which("ffmpeg") is None:
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            pdu.convert_video_to_images(tmp_path / "v.mp4", tmp_path / "f", 5)
