@@ -59,7 +59,7 @@ class ParityHashEncoding(nn.Module):
     num_levels: int = 16
     min_res: int = 16
     max_res: int = 2048
-    log2_hashmap_size: int = 15
+    log2_hashmap_size: int = 19
     features_per_level: int = 2
 
     @property

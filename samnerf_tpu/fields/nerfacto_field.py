@@ -38,7 +38,7 @@ class NerfactoField(nn.Module):
     geo_feat_dim: int = 15
     num_levels: int = 16
     max_res: int = 2048
-    log2_hashmap_size: int = 15
+    log2_hashmap_size: int = 19
     num_layers_color: int = 3
     hidden_dim_color: int = 64
     appearance_embedding_dim: int = 32

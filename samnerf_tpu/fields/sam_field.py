@@ -21,7 +21,7 @@ from samnerf_tpu.fields.mlp import MLP
 
 class SAMField(nn.Module):
     grid_layers: Tuple[int, ...] = (12, 12)
-    grid_sizes: Tuple[int, ...] = (15, 15)
+    grid_sizes: Tuple[int, ...] = (19, 19)
     grid_resolutions: Tuple[Tuple[int, int], ...] = ((16, 128), (128, 512))
     features_per_level: int = 8
     hidden_layers: int = 1

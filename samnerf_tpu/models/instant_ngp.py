@@ -33,7 +33,7 @@ class InstantNGPConfig:
     grid_resolution: int = 128
     num_levels: int = 16
     max_res: int = 2048
-    log2_hashmap_size: int = 15
+    log2_hashmap_size: int = 19
     aabb_scale: float = 1.0
     background_color: str = "random"  # reference default; 'black' at eval
 

@@ -34,7 +34,7 @@ class NerfPlayerConfig:
     num_levels: int = 8
     min_res: int = 16
     max_res: int = 512
-    log2_hashmap_size: int = 15
+    log2_hashmap_size: int = 19
     features_per_level: int = 2
     num_time_steps: int = 16
     hidden_dim: int = 64
