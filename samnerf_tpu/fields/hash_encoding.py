@@ -10,7 +10,9 @@ from flax import linen as nn
 
 from samnerf_tpu.ops.encodings import hash_encode, hash_grid_scalings, init_hash_table
 from samnerf_tpu.ops.hash_pallas import (LANES, PARITIES, init_parity_table,
-                                         parity_hash_encode)
+                                         parity_hash_encode,
+                                         parity_hash_encode_q8,
+                                         quantize_parity_table)
 
 
 class HashEncoding(nn.Module):
@@ -61,6 +63,11 @@ class ParityHashEncoding(nn.Module):
     max_res: int = 2048
     log2_hashmap_size: int = 19
     features_per_level: int = 2
+    quantize_serve: bool = False
+    """Serve-time int8 table quantization (parity_hash_encode_q8): halves
+    the VPU table-scan cost.  NO gradients flow to the tables in this
+    mode — set it only on serving/viewer model instances (the same
+    trained f32 checkpoint loads unchanged; quantization is on the fly)."""
 
     @property
     def out_dim(self) -> int:
@@ -87,5 +94,12 @@ class ParityHashEncoding(nn.Module):
         if pad:
             positions = jnp.concatenate(
                 [positions, jnp.full((pad, 3), 0.5, positions.dtype)])
-        out = parity_hash_encode(table, positions, scalings, self.num_steps)
+        if self.quantize_serve:
+            packed, scales = quantize_parity_table(
+                jax.lax.stop_gradient(table))
+            out = parity_hash_encode_q8(packed, scales, positions, scalings,
+                                        self.num_steps)
+        else:
+            out = parity_hash_encode(table, positions, scalings,
+                                     self.num_steps)
         return out[:n] if pad else out

@@ -45,11 +45,13 @@ class NerfactoField(nn.Module):
     use_appearance_embedding: bool = False
     use_average_appearance_embedding: bool = True
     compute_dtype: Any = jnp.float32
+    hash_q8: bool = False
 
     def setup(self):
         self.encoding = ParityHashEncoding(
             num_levels=self.num_levels, min_res=16, max_res=self.max_res,
-            log2_hashmap_size=self.log2_hashmap_size, features_per_level=2)
+            log2_hashmap_size=self.log2_hashmap_size, features_per_level=2,
+            quantize_serve=self.hash_q8)
         self.mlp_base = MLP(hidden_dim=self.hidden_dim,
                             num_hidden_layers=self.num_layers - 1,
                             out_dim=1 + self.geo_feat_dim,
@@ -115,6 +117,7 @@ class HashMLPDensityField(nn.Module):
     features_per_level: int = 2
     use_linear: bool = False
     compute_dtype: Any = jnp.float32
+    hash_q8: bool = False
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -124,7 +127,8 @@ class HashMLPDensityField(nn.Module):
         enc = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
-            features_per_level=self.features_per_level)(flat)
+            features_per_level=self.features_per_level,
+            quantize_serve=self.hash_q8)(flat)
         if self.use_linear:
             raw = nn.Dense(1)(enc)
         else:

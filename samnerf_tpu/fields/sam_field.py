@@ -32,6 +32,7 @@ class SAMField(nn.Module):
     use_dino: bool = False
     use_clipseg: bool = True
     compute_dtype: Any = jnp.float32
+    hash_q8: bool = False
 
     def setup(self):
         def make_pyramids(name):
@@ -40,6 +41,7 @@ class SAMField(nn.Module):
                                  max_res=self.grid_resolutions[i][1],
                                  log2_hashmap_size=self.grid_sizes[i],
                                  features_per_level=self.features_per_level,
+                                 quantize_serve=self.hash_q8,
                                  name=f"{name}_{i}")
                     for i in range(len(self.grid_layers))]
 

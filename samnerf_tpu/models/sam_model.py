@@ -77,6 +77,10 @@ class SAMModelConfig:
     patch_size: int = 4
     kernel_size: int = 3
     # runtime
+    hash_q8_serve: bool = False
+    """Serve-time int8 hash tables (ParityHashEncoding.quantize_serve):
+    ~2x faster table scans at view time; training instances must leave
+    this False (gradients to the tables are stopped in q8 mode)."""
     num_images: int = 1
     compute_dtype: Any = jnp.float32
     eval_num_rays_per_chunk: int = 1 << 15
@@ -110,12 +114,13 @@ class SAMModel(nn.Module):
             hidden_dim_color=cfg.hidden_dim_color, num_levels=cfg.num_levels,
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
             use_appearance_embedding=cfg.use_appearance_embedding,
-            compute_dtype=cfg.compute_dtype, name="fields")
+            compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
+            name="fields")
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
-                compute_dtype=cfg.compute_dtype,
+                compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
                 name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
         if cfg.distill_sam:
@@ -125,7 +130,8 @@ class SAMModel(nn.Module):
                 hidden_layers=cfg.hidden_layers,
                 use_dino=cfg.use_dino_feature,
                 use_clipseg=cfg.use_clipseg_feature,
-                compute_dtype=cfg.compute_dtype, name="sam_field")
+                compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
+                name="sam_field")
             self.conv = ConvHead(kernel_size=cfg.kernel_size,
                                  compute_dtype=cfg.compute_dtype, name="conv")
 

@@ -166,6 +166,20 @@ def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
     return lo, hi, w
 
 
+def _corner_index_math_q8(x, y, z, scale, dense, half, num_steps,
+                          s0, s1, s2):
+    """Index math for the int8-packed layout: the SAME class entry
+    e = idx mod (num_steps*128) as the f32 path, re-addressed as
+    (row-group e>>8, lane (e>>1)&127, byte-half e&1).  Returns
+    (lo8 | half<<8, hi8, w)."""
+    lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                       num_steps, s0, s1, s2)
+    e = (hi << 7) | lo                      # class entry index
+    lo8 = ((e >> 1) & (LANES - 1)) | ((e & 1) << 8)
+    hi8 = e >> 8
+    return lo8, hi8, w
+
+
 # --- forward kernel -----------------------------------------------------------
 
 
@@ -540,6 +554,197 @@ def _public_to_internal(g, num_packed, num_levels):
     o = g.T.reshape(num_packed, 2, num_levels, n)
     return jnp.transpose(o, (0, 2, 1, 3)).reshape(
         num_packed * num_levels, 2, n)
+
+
+# --- int8 serving mode ----------------------------------------------------------
+#
+# Serve-time quantization: each (pack, level) table is symmetric-int8
+# quantized with one scale, packed 2 entries x 2 features per f32 lane —
+# HALF the scan row-groups of the bf16-pair layout, so the VPU-bound
+# table scan (the serving bottleneck at 2^19) runs ~2x faster.  Training
+# always uses the f32/bf16 path; q8 dequantizes on the fly from the same
+# master parameter tables, so trained checkpoints serve unchanged.
+
+
+def quantize_parity_table(table: jax.Array):
+    """[PL, steps*8, 128, 2] f32 master -> (packed q8 [PL, ceil(steps/2)*8,
+    128] f32-bitcast, scales [PL] f32).  Byte layout per u32 lane:
+    (half0.f0, half0.f1, half1.f0, half1.f1)."""
+    pl_rows, rows, _, _ = table.shape
+    steps = rows // PARITIES
+    steps8 = max(steps // 2, 1)
+    scales = jnp.maximum(
+        jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(table / scales[:, None, None, None]),
+                 -127, 127).astype(jnp.int32)
+    # rows (8t+s) -> class-entry order e = t*128 + lane
+    q = q.reshape(pl_rows, steps, PARITIES, LANES, 2)
+    q = jnp.transpose(q, (0, 2, 1, 3, 4))            # [PL, 8, steps, 128, 2]
+    q = q.reshape(pl_rows, PARITIES, steps * LANES, 2)
+    if steps % 2:   # pad odd step counts with a zero entry block
+        q = jnp.concatenate(
+            [q, jnp.zeros((pl_rows, PARITIES, steps8 * 2 * LANES
+                           - steps * LANES, 2), q.dtype)], axis=2)
+    q = q.reshape(pl_rows, PARITIES, steps8, LANES, 2, 2)  # tq, lane, half, f
+    b = (q & 0xFF).astype(jnp.uint32)
+    u32 = (b[..., 0, 0] | (b[..., 0, 1] << 8)
+           | (b[..., 1, 0] << 16) | (b[..., 1, 1] << 24))
+    u32 = jnp.transpose(u32, (0, 2, 1, 3))          # [PL, tq, 8, 128]
+    u32 = u32.reshape(pl_rows, steps8 * PARITIES, LANES)
+    return jax.lax.bitcast_convert_type(u32, jnp.float32), scales
+
+
+def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
+                   lo_s, hi_s, w_s, *, num_steps: int, tile: int,
+                   slab: int):
+    """q8 variant of _fwd_kernel_v2: same slab grid, half the row-groups;
+    the scan selects packed u32 lanes, the selected lane's byte pair is
+    sign-extended and dequantized per slab."""
+    pid = pl.program_id(0)
+    s_id = pl.program_id(2)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    n_slabs_l = meta_ref[pid, 2]
+    scale = scale_ref[pid, 0]
+    qscale = scale_ref[pid, 1]
+
+    @pl.when(s_id == 0)
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
+        lo8, hi8, w = _corner_index_math_q8(x, y, z, scale, dense, half,
+                                            num_steps, s0, s1, s2)
+        lo_s[...] = lo8
+        hi_s[...] = hi8
+        w_s[...] = w
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(s_id < n_slabs_l)
+    def _scan_slab():
+        base = s_id * slab
+        for j in range(tile // LANES):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols] & (LANES - 1)
+            halfbit = lo_s[:, cols] >> 8
+            hi = hi_s[:, cols] - base
+            w = w_s[:, cols]
+            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+            for u in range(slab):
+                src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
+                g = jnp.take_along_axis(src, lo, axis=1)
+                acc = jnp.where(hi == u, g, acc)
+            bits = pltpu.bitcast(acc, jnp.uint32)
+            v16 = (bits >> (halfbit.astype(jnp.uint32) * 16)) \
+                & jnp.uint32(0xFFFF)
+            f0 = (((v16 & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
+                .astype(jnp.float32) * qscale
+            f1 = ((((v16 >> 8) & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
+                .astype(jnp.float32) * qscale
+            out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
+            out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
+
+
+def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
+    """Per-(pack, level) metadata for the q8 kernel: row-group counts on
+    the 2048-entry-per-group layout; scale_ref carries (level scale,
+    quantization scale) pairs."""
+    num_levels = len(plan)
+    steps8 = max(num_steps // 2, 1)
+    slab = min(V2_SLAB, steps8)
+    meta = np.zeros((num_packed * num_levels, 4), np.int32)
+    sc = np.zeros((num_packed * num_levels, 2), np.float32)
+    for p in range(num_packed):
+        for l, (s, dense, half) in enumerate(plan):
+            entries = num_steps * LANES
+            if dense:
+                entries = min(entries, half ** 3)
+            steps_l8 = min(steps8, -(-entries // (2 * LANES)))
+            row = p * num_levels + l
+            meta[row] = (1 if dense else 0, half, -(-steps_l8 // slab), 0)
+            sc[row, 0] = s
+    meta_j = jnp.asarray(meta)
+    sc_j = jnp.asarray(sc).at[:, 1].set(scales)
+    return meta_j, sc_j, steps8, slab
+
+
+def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
+                          positions: jax.Array, scalings,
+                          num_steps: int) -> jax.Array:
+    """Serve-time int8 hash encoding (no gradients).
+
+    packed_q8/scales from :func:`quantize_parity_table`;
+    positions [N, 3] (N multiple of 128) -> [N, P*2*L] f32, same channel
+    layout as :func:`parity_hash_encode`.
+    """
+    plan = _level_plan(scalings, num_steps)
+    num_levels = len(plan)
+    pl_rows = packed_q8.shape[0]
+    num_packed = pl_rows // num_levels
+    n = positions.shape[0]
+    meta, sc, steps8, slab = _plan_meta_q8(plan, num_steps, num_packed,
+                                           jax.lax.stop_gradient(scales))
+    if jax.default_backend() != "tpu":
+        return _parity_hash_encode_q8_ref(packed_q8, scales, positions,
+                                          scalings, num_steps)
+    pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
+    tile = _pick_tile(n, 2048)
+    kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps, tile=tile,
+                             slab=slab)
+    out = pl.pallas_call(
+        kern,
+        grid=(pl_rows, n // tile, steps8 // slab),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda l, i, s: (0, i)),
+            pl.BlockSpec((1, slab * PARITIES, LANES),
+                         lambda l, i, s: (l, s, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, s: (l, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),
+        ],
+    )(meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
+    return _internal_to_public(out, num_packed, num_levels, n)
+
+
+def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
+                               num_steps):
+    """jnp reference for the q8 kernel (any backend): unpack bytes,
+    dequantize, same corner math."""
+    plan = _level_plan(scalings, num_steps)
+    num_levels = len(plan)
+    pl_rows = packed_q8.shape[0]
+    num_packed = pl_rows // num_levels
+    u32 = jax.lax.bitcast_convert_type(packed_q8, jnp.uint32)
+    steps8 = u32.shape[1] // PARITIES
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    s_ids = jnp.arange(PARITIES, dtype=jnp.int32)[:, None]
+    s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
+    outs = []
+    for p in range(num_packed):
+        for f in range(2):
+            for l, (scale, dense, half) in enumerate(plan):
+                lo8, hi8, w = _corner_index_math_q8(
+                    x[None], y[None], z[None], jnp.float32(scale),
+                    jnp.int32(1 if dense else 0), jnp.int32(half),
+                    num_steps, s0, s1, s2)
+                lane = lo8 & (LANES - 1)
+                halfbit = (lo8 >> 8).astype(jnp.uint32)
+                row = hi8 * PARITIES + s_ids
+                bits = u32[p * num_levels + l, row, lane]
+                v16 = (bits >> (halfbit * 16 + jnp.uint32(8 * f))) \
+                    & jnp.uint32(0xFF)
+                val = ((v16 ^ 0x80).astype(jnp.int32) - 0x80) \
+                    .astype(jnp.float32) * scales[p * num_levels + l]
+                outs.append(jnp.sum(val * w, axis=0))
+    return jnp.stack(outs, axis=-1)
 
 
 # --- reference (pure jnp; identical semantics, any backend) -------------------

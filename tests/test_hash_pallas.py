@@ -189,3 +189,70 @@ def test_use_v2_rule():
     assert not hp._use_v2(32, 12)          # 2^15 levels, 12 tables: v1
     assert hp._use_v2(512, 16)             # 2^19: v2
     assert hp._use_v2(32, 64)              # many packed tables: VMEM blown
+
+
+def test_q8_ref_matches_dequantized_f32():
+    """The q8 jnp reference must equal the f32 reference evaluated on the
+    dequantized table (same entries, same weights)."""
+    scalings, table, pos = _setup(L=3, steps=4, N=256)
+    packed, scales = hp.quantize_parity_table(table)
+    out_q8 = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 4)
+    # dequantize the master table exactly as the quantizer rounded it
+    q = jnp.clip(jnp.round(table / scales[:, None, None, None]), -127, 127)
+    deq = q * scales[:, None, None, None]
+    # f32 ref casts through bf16; make that cast a no-op by comparing to a
+    # direct corner-math evaluation instead
+    plan = hp._level_plan(scalings, 4)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    s_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+    s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
+    outs = []
+    for p in range(1):
+        for f in range(2):
+            for l, (scale, dense, half) in enumerate(plan):
+                lo, hi, w = hp._corner_index_math(
+                    x[None], y[None], z[None], scale, dense, half, 4,
+                    s0, s1, s2)
+                vals = deq[l, hi * 8 + s_ids, lo, f]
+                outs.append(jnp.sum(vals * w, axis=0))
+    expected = jnp.stack(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(out_q8), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_q8_kernel_matches_ref(monkeypatch):
+    """Interpret-mode q8 Pallas kernel == q8 jnp reference."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    packed, scales = hp.quantize_parity_table(table)
+    ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 8)
+    out = hp.parity_hash_encode_q8(packed, scales, pos, scalings, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_q8_quantization_error_bounded():
+    """q8 output stays within one quantization step of the f32 path."""
+    scalings, table, pos = _setup(L=2, steps=2, N=128)
+    f32 = hp.parity_hash_encode(table, pos, scalings, 2)
+    packed, scales = hp.quantize_parity_table(table)
+    q8 = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 2)
+    # trilinear weights sum to 1, so error <= max per-level scale + bf16 eps
+    tol = float(jnp.max(scales)) + 2e-2 * float(jnp.max(jnp.abs(f32)))
+    assert float(jnp.max(jnp.abs(q8 - f32))) <= tol
+
+
+def test_q8_encoding_module(monkeypatch):
+    """ParityHashEncoding(quantize_serve=True) runs end to end on CPU."""
+    from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
+
+    enc = ParityHashEncoding(num_levels=2, min_res=4, max_res=16,
+                             log2_hashmap_size=10, quantize_serve=True)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (128, 3))
+    params = enc.init(jax.random.PRNGKey(1), pos)
+    out = enc.apply(params, pos)
+    assert out.shape == (128, 4) and np.isfinite(np.asarray(out)).all()
+    # quantized mode must not propagate gradients to the table
+    g = jax.grad(lambda p: float(0) + jnp.sum(enc.apply(p, pos) ** 2))(params)
+    assert float(jnp.max(jnp.abs(g["params"]["table"]))) == 0.0
