@@ -91,6 +91,8 @@ def zoo_methods() -> Dict[str, ZooMethod]:
                                     loss_needs_config=True),
         "nerfplayer-nerfacto": ZooMethod("nerfplayer-nerfacto", _nerfplayer,
                                          nerfplayer.get_loss_dict),
+        "nerfplayer-ngp": ZooMethod("nerfplayer-ngp", _nerfplayer,
+                                    nerfplayer.get_loss_dict),
     }
 
 

@@ -1,7 +1,10 @@
 """NerfPlayer-style dynamic (temporal) NeRF.
 
-Reference: ``nerfstudio/models/nerfplayer_nerfacto.py`` with the in-tree
-CUDA temporal grid encoder (``field_components/cuda/csrc/
+Reference: ``nerfstudio/models/nerfplayer_nerfacto.py`` AND
+``nerfplayer_ngp.py`` (the occupancy-grid variant: pass an
+``occupancy`` grid like :mod:`samnerf_tpu.models.instant_ngp` — empty
+cells contribute zero density, the dense-shape stand-in for nerfacc's
+packed VolumetricSampler) with the in-tree CUDA temporal grid encoder (``field_components/cuda/csrc/
 temporal_gridencoder.cu``, consumed by ``field_components/
 temporal_grid.py``).  The TPU equivalent is
 :func:`samnerf_tpu.ops.encodings.temporal_hash_encode` — the same
@@ -84,15 +87,24 @@ class NerfPlayerModel(nn.Module):
 
     def __call__(self, ray_bundle: RayBundle,
                  rng: Optional[jax.Array] = None,
-                 train: bool = True) -> Dict[str, Any]:
+                 train: bool = True,
+                 occupancy: Optional[jax.Array] = None,
+                 aabb: Optional[jax.Array] = None) -> Dict[str, Any]:
         cfg = self.config
         rb = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
         times = rb.times if rb.times is not None else \
             jnp.zeros_like(rb.origins[..., :1])
         samples = S.initial_samples(rng, rb, cfg.num_samples,
                                     stratified=train)
-        out = self.field(samples.positions(), samples.directions, times)
-        weights = samples.get_weights(out["density"])
+        pos = samples.positions()
+        out = self.field(pos, samples.directions, times)
+        density = out["density"]
+        if occupancy is not None:
+            from samnerf_tpu.ops.occupancy import occupancy_mask
+            box = (aabb if aabb is not None
+                   else jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]))
+            density = density * occupancy_mask(occupancy, pos, box)
+        weights = samples.get_weights(density)
         return {
             "rgb": render_ops.render_rgb(out["rgb"], weights,
                                          cfg.background_color,

@@ -197,3 +197,28 @@ def test_zoo_registry_and_train_step():
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in
                zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
     assert diff > 0
+
+
+def test_nerfplayer_ngp_occupancy_variant():
+    """nerfplayer with an occupancy grid (reference nerfplayer_ngp.py):
+    empty cells must zero the density -> empty-space rays render as
+    background with ~zero accumulation."""
+    from samnerf_tpu.models import nerfplayer as m
+
+    cfg = m.NerfPlayerConfig(num_samples=8, num_levels=2, min_res=4,
+                             max_res=16, log2_hashmap_size=8,
+                             num_time_steps=2, hidden_dim=8, far_plane=4.0)
+    model = m.NerfPlayerModel(cfg)
+    rb = _bundle(8)
+    params = model.init(jax.random.PRNGKey(0), rb, rng=jax.random.PRNGKey(1))
+    occ_empty = jnp.zeros((8, 8, 8))
+    out = model.apply(params, rb, rng=jax.random.PRNGKey(2), train=False,
+                      occupancy=occ_empty)
+    np.testing.assert_allclose(np.asarray(out["accumulation"]), 0.0,
+                               atol=1e-6)
+    occ_full = jnp.ones((8, 8, 8))
+    out2 = model.apply(params, rb, rng=jax.random.PRNGKey(2), train=False,
+                       occupancy=occ_full)
+    assert float(jnp.max(out2["accumulation"])) > 0.0
+    from samnerf_tpu.configs.zoo import zoo_methods
+    assert "nerfplayer-ngp" in zoo_methods()
