@@ -175,8 +175,11 @@ def test_v2_bwd_matches_ref_vjp(monkeypatch):
         pl_rows=3, num_steps=2, tile=128)
     out = np.moveaxis(np.asarray(gtab), 1, -1)    # [gl, 8, steps, 128, 2]
     out = out.swapaxes(1, 2).reshape(3, 2 * 8, 128, 2)
+    # the v2 backward rounds cotangent*weight through bf16 before the MXU
+    # one-hot matmul (tcnn-equivalent fp16 gradient precision), so
+    # agreement with the f32 ref vjp is to bf16 resolution
     np.testing.assert_allclose(out, np.asarray(ref_grad),
-                               rtol=1e-2, atol=1e-4)
+                               rtol=1e-2, atol=1e-2)
 
 
 def test_v2_layout_roundtrip():
