@@ -68,6 +68,10 @@ class ParityHashEncoding(nn.Module):
     the VPU table-scan cost.  NO gradients flow to the tables in this
     mode — set it only on serving/viewer model instances (the same
     trained f32 checkpoint loads unchanged; quantization is on the fly)."""
+    hash_fn: str = "reference"
+    """"reference" = the primes-XOR spatial hash; "morton" = locality-
+    preserving top index bits (coherent tiles skip untouched table slabs
+    — different collision structure; train AND serve must agree)."""
 
     @property
     def out_dim(self) -> int:
@@ -98,8 +102,9 @@ class ParityHashEncoding(nn.Module):
             packed, scales = quantize_parity_table(
                 jax.lax.stop_gradient(table))
             out = parity_hash_encode_q8(packed, scales, positions, scalings,
-                                        self.num_steps)
+                                        self.num_steps,
+                                        hash_fn=self.hash_fn)
         else:
             out = parity_hash_encode(table, positions, scalings,
-                                     self.num_steps)
+                                     self.num_steps, 0, self.hash_fn)
         return out[:n] if pad else out

@@ -46,12 +46,13 @@ class NerfactoField(nn.Module):
     use_average_appearance_embedding: bool = True
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
+    hash_fn: str = "reference"
 
     def setup(self):
         self.encoding = ParityHashEncoding(
             num_levels=self.num_levels, min_res=16, max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size, features_per_level=2,
-            quantize_serve=self.hash_q8)
+            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)
         self.mlp_base = MLP(hidden_dim=self.hidden_dim,
                             num_hidden_layers=self.num_layers - 1,
                             out_dim=1 + self.geo_feat_dim,
@@ -118,6 +119,7 @@ class HashMLPDensityField(nn.Module):
     use_linear: bool = False
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
+    hash_fn: str = "reference"
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -128,7 +130,7 @@ class HashMLPDensityField(nn.Module):
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
-            quantize_serve=self.hash_q8)(flat)
+            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)(flat)
         if self.use_linear:
             raw = nn.Dense(1)(enc)
         else:

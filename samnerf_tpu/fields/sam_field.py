@@ -33,6 +33,7 @@ class SAMField(nn.Module):
     use_clipseg: bool = True
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
+    hash_fn: str = "reference"
 
     def setup(self):
         def make_pyramids(name):
@@ -42,6 +43,7 @@ class SAMField(nn.Module):
                                  log2_hashmap_size=self.grid_sizes[i],
                                  features_per_level=self.features_per_level,
                                  quantize_serve=self.hash_q8,
+                                 hash_fn=self.hash_fn,
                                  name=f"{name}_{i}")
                     for i in range(len(self.grid_layers))]
 

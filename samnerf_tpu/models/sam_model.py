@@ -81,6 +81,9 @@ class SAMModelConfig:
     """Serve-time int8 hash tables (ParityHashEncoding.quantize_serve):
     ~2x faster table scans at view time; training instances must leave
     this False (gradients to the tables are stopped in q8 mode)."""
+    hash_fn: str = "reference"
+    """"reference" or "morton" (locality-preserving hash; coherent eval
+    tiles skip untouched table slabs).  Train and serve must agree."""
     num_images: int = 1
     compute_dtype: Any = jnp.float32
     eval_num_rays_per_chunk: int = 1 << 15
@@ -115,13 +118,13 @@ class SAMModel(nn.Module):
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
             use_appearance_embedding=cfg.use_appearance_embedding,
             compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-            name="fields")
+            hash_fn=cfg.hash_fn, name="fields")
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                name=f"proposal_networks_{i}", **args))
+                hash_fn=cfg.hash_fn, name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
         if cfg.distill_sam:
             self.sam_field = sam_cls(
@@ -131,7 +134,7 @@ class SAMModel(nn.Module):
                 use_dino=cfg.use_dino_feature,
                 use_clipseg=cfg.use_clipseg_feature,
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                name="sam_field")
+                hash_fn=cfg.hash_fn, name="sam_field")
             self.conv = ConvHead(kernel_size=cfg.kernel_size,
                                  compute_dtype=cfg.compute_dtype, name="conv")
 

@@ -86,7 +86,8 @@ def _level_plan(scalings: Sequence[float], num_steps: int):
     return tuple(plan)
 
 
-def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2):
+def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2,
+                       hash_fn: str = "reference"):
     """Shared fwd/bwd index math on (1, nt) vectors -> lo/hi/w [8, nt].
 
     The corner handled by sublane s is the one of floor/floor+1 along
@@ -122,13 +123,33 @@ def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2):
         idx = ((cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
                ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
                ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
+        if hash_fn == "morton":
+            idx = _morton_mix(idx, cx, cy, cz, scale, num_steps)
     lo = (idx & jnp.uint32(LANES - 1)).astype(jnp.int32)
     hi = ((idx >> 7) & jnp.uint32(num_steps - 1)).astype(jnp.int32)
     return lo, hi, w
 
 
+def _morton_mix(idx_hash, cx, cy, cz, scale, num_steps):
+    """Locality-preserving remix: top 4 index bits = coarse spatial key
+    (half-space bits of x/y/z + the second x bit); the scrambling hash
+    keeps the rest.  Collisions stay within coarse regions, so coherent
+    point tiles touch few table slabs (skipped via mask_s)."""
+    bits = int(np.log2(num_steps * LANES))
+    inv = 1.0 / jnp.maximum(jnp.float32(scale), 1.0)
+    ux = cx.astype(jnp.float32) * inv
+    uy = cy.astype(jnp.float32) * inv
+    uz = cz.astype(jnp.float32) * inv
+    key = ((ux >= 0.5).astype(jnp.uint32) << 3
+           | (uy >= 0.5).astype(jnp.uint32) << 2
+           | (uz >= 0.5).astype(jnp.uint32) << 1
+           | ((ux * 2.0 - jnp.floor(ux * 2.0)) >= 0.5).astype(jnp.uint32))
+    return (key << (bits - 4)) | (idx_hash
+                                  & jnp.uint32((1 << (bits - 4)) - 1))
+
+
 def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
-                           s0, s1, s2):
+                           s0, s1, s2, hash_fn: str = "reference"):
     """_corner_index_math with TRACED per-level scale/dense/half (the v2
     streaming kernel reads them from SMEM per grid step): both the dense
     linear index and the spatial hash are computed and selected."""
@@ -160,6 +181,8 @@ def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
     idx_hash = ((cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
                 ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
                 ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
+    if hash_fn == "morton":
+        idx_hash = _morton_mix(idx_hash, cx, cy, cz, scale, num_steps)
     idx = jnp.where(dense != 0, idx_dense, idx_hash)
     lo = (idx & jnp.uint32(LANES - 1)).astype(jnp.int32)
     hi = ((idx >> 7) & jnp.uint32(num_steps - 1)).astype(jnp.int32)
@@ -167,13 +190,13 @@ def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
 
 
 def _corner_index_math_q8(x, y, z, scale, dense, half, num_steps,
-                          s0, s1, s2):
+                          s0, s1, s2, hash_fn: str = "reference"):
     """Index math for the int8-packed layout: the SAME class entry
     e = idx mod (num_steps*128) as the f32 path, re-addressed as
     (row-group e>>8, lane (e>>1)&127, byte-half e&1).  Returns
     (lo8 | half<<8, hi8, w)."""
     lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
-                                       num_steps, s0, s1, s2)
+                                       num_steps, s0, s1, s2, hash_fn)
     e = (hi << 7) | lo                      # class entry index
     lo8 = ((e >> 1) & (LANES - 1)) | ((e & 1) << 8)
     hi8 = e >> 8
@@ -378,18 +401,24 @@ def _plan_meta(plan, num_steps: int, num_packed: int):
 
 
 def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
-                   lo_s, hi_s, w_s, *, num_steps: int, tile: int,
-                   slab: int):
+                   lo_s, hi_s, w_s, mask_s, *, num_steps: int, tile: int,
+                   slab: int, hash_fn: str = "reference"):
     """grid (PL, tiles, slabs).  Blocks: meta [PL, 4] / scale [PL, 1]
     (SMEM, full), pos [8, tile] (constant in s), table [1, slab*8, 128]
     (the s-th slab of (pack, level) l — STATIC in-slab slices so Mosaic
     register-allocates the scan), out [1, 2, tile] accumulated in VMEM
     across the slab sweep.  Scratch lo/hi/w [8, tile] cache the corner
-    index math, computed once per (l, i) at s == 0.
+    index math, computed once per (l, i) at s == 0; ``mask_s`` [slabs]
+    (SMEM) records which slabs the tile touches at all — untouched slabs
+    skip their scan entirely (spatially coherent tiles under a
+    locality-preserving hash, and every out-of-range slab of dense
+    coarse levels).
 
     A (point, corner) matches exactly one row-group in the whole table,
     so per-slab contributions are disjoint and the weighted partial sums
     accumulate exactly."""
+    n_slabs = num_steps // slab
+    slab_shift = slab.bit_length() - 1
     pid = pl.program_id(0)
     s_id = pl.program_id(2)
     dense = meta_ref[pid, 0]
@@ -405,13 +434,16 @@ def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         y = pos_ref[1:2, :]
         z = pos_ref[2:3, :]
         lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
-                                           num_steps, s0, s1, s2)
+                                           num_steps, s0, s1, s2, hash_fn)
         lo_s[...] = lo
         hi_s[...] = hi
         w_s[...] = w
         out_ref[...] = jnp.zeros_like(out_ref)
+        sl_of = hi >> slab_shift
+        for sl in range(n_slabs):
+            mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
 
-    @pl.when(s_id < n_slabs_l)
+    @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
     def _scan_slab():
         base = s_id * slab
         for j in range(tile // LANES):
@@ -431,12 +463,13 @@ def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
 
-def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile):
+def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile,
+                 hash_fn="reference"):
     pl_rows = packed_table.shape[0]
     n = positions_t.shape[1]
     slab = min(V2_SLAB, num_steps)
     kern = functools.partial(_fwd_kernel_v2, num_steps=num_steps, tile=tile,
-                             slab=slab)
+                             slab=slab, hash_fn=hash_fn)
     return pl.pallas_call(
         kern,
         grid=(pl_rows, n // tile, num_steps // slab),
@@ -453,12 +486,13 @@ def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile):
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.float32),
+            pltpu.SMEM((max(num_steps // slab, 1),), jnp.int32),
         ],
     )(meta, scale, positions_t, packed_table)
 
 
 def _bwd_kernel_v2(meta_ref, scale_ref, pos_ref, g_ref, gtab_ref, *,
-                   num_steps: int, tile: int):
+                   num_steps: int, tile: int, hash_fn: str = "reference"):
     """Blocks: pos [8, tile], g [1, 2, tile] (internal [PL, 2, N]), gtab
     [1, 2, 8, num_steps, 128] f32 accumulated across the point-tile sweep.
 
@@ -491,7 +525,7 @@ def _bwd_kernel_v2(meta_ref, scale_ref, pos_ref, g_ref, gtab_ref, *,
         y = pos_ref[1:2, cols]
         z = pos_ref[2:3, cols]
         lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
-                                           num_steps, s0, s1, s2)
+                                           num_steps, s0, s1, s2, hash_fn)
         g0 = g_ref[0, 0:1, cols] * w   # [8, 128] cotangent * trilinear w
         g1 = g_ref[0, 1:2, cols] * w
         # oh_lo^T [8, nt, 128]: (lo == m) for the batched contraction.
@@ -524,9 +558,10 @@ def _bwd_kernel_v2(meta_ref, scale_ref, pos_ref, g_ref, gtab_ref, *,
 
 
 def _bwd_call_v2(positions_t, g_internal, meta, scale, *, pl_rows, num_steps,
-                 tile):
+                 tile, hash_fn="reference"):
     n = positions_t.shape[1]
-    kern = functools.partial(_bwd_kernel_v2, num_steps=num_steps, tile=tile)
+    kern = functools.partial(_bwd_kernel_v2, num_steps=num_steps, tile=tile,
+                             hash_fn=hash_fn)
     return pl.pallas_call(
         kern,
         grid=(pl_rows, n // tile),
@@ -599,11 +634,13 @@ def quantize_parity_table(table: jax.Array):
 
 
 def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
-                   lo_s, hi_s, w_s, *, num_steps: int, tile: int,
-                   slab: int):
-    """q8 variant of _fwd_kernel_v2: same slab grid, half the row-groups;
-    the scan selects packed u32 lanes, the selected lane's byte pair is
-    sign-extended and dequantized per slab."""
+                   lo_s, hi_s, w_s, mask_s, *, num_steps: int, tile: int,
+                   slab: int, n_slabs: int, hash_fn: str = "reference"):
+    """q8 variant of _fwd_kernel_v2: same slab grid (incl. the per-tile
+    slab-membership skip), half the row-groups; the scan selects packed
+    u32 lanes, the selected lane's byte pair is sign-extended and
+    dequantized per slab."""
+    slab_shift = slab.bit_length() - 1
     pid = pl.program_id(0)
     s_id = pl.program_id(2)
     dense = meta_ref[pid, 0]
@@ -620,13 +657,16 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         y = pos_ref[1:2, :]
         z = pos_ref[2:3, :]
         lo8, hi8, w = _corner_index_math_q8(x, y, z, scale, dense, half,
-                                            num_steps, s0, s1, s2)
+                                            num_steps, s0, s1, s2, hash_fn)
         lo_s[...] = lo8
         hi_s[...] = hi8
         w_s[...] = w
         out_ref[...] = jnp.zeros_like(out_ref)
+        sl_of = hi8 >> slab_shift
+        for sl in range(n_slabs):
+            mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
 
-    @pl.when(s_id < n_slabs_l)
+    @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
     def _scan_slab():
         base = s_id * slab
         for j in range(tile // LANES):
@@ -676,7 +716,8 @@ def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
 
 def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
                           positions: jax.Array, scalings,
-                          num_steps: int) -> jax.Array:
+                          num_steps: int,
+                          hash_fn: str = "reference") -> jax.Array:
     """Serve-time int8 hash encoding (no gradients).
 
     packed_q8/scales from :func:`quantize_parity_table`;
@@ -692,14 +733,15 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
                                            jax.lax.stop_gradient(scales))
     if jax.default_backend() != "tpu":
         return _parity_hash_encode_q8_ref(packed_q8, scales, positions,
-                                          scalings, num_steps)
+                                          scalings, num_steps, hash_fn)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     tile = _pick_tile(n, 2048)
+    n_slabs = max(steps8 // slab, 1)
     kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps, tile=tile,
-                             slab=slab)
+                             slab=slab, n_slabs=n_slabs, hash_fn=hash_fn)
     out = pl.pallas_call(
         kern,
-        grid=(pl_rows, n // tile, steps8 // slab),
+        grid=(pl_rows, n // tile, n_slabs),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -713,13 +755,14 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.float32),
+            pltpu.SMEM((n_slabs,), jnp.int32),
         ],
     )(meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
     return _internal_to_public(out, num_packed, num_levels, n)
 
 
 def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
-                               num_steps):
+                               num_steps, hash_fn="reference"):
     """jnp reference for the q8 kernel (any backend): unpack bytes,
     dequantize, same corner math."""
     plan = _level_plan(scalings, num_steps)
@@ -738,7 +781,7 @@ def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
                 lo8, hi8, w = _corner_index_math_q8(
                     x[None], y[None], z[None], jnp.float32(scale),
                     jnp.int32(1 if dense else 0), jnp.int32(half),
-                    num_steps, s0, s1, s2)
+                    num_steps, s0, s1, s2, hash_fn)
                 lane = lo8 & (LANES - 1)
                 halfbit = (lo8 >> 8).astype(jnp.uint32)
                 row = hi8 * PARITIES + s_ids
@@ -755,7 +798,8 @@ def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
 
 
 def parity_hash_encode_ref(table: jax.Array, positions: jax.Array,
-                           scalings, num_steps: int) -> jax.Array:
+                           scalings, num_steps: int,
+                           hash_fn: str = "reference") -> jax.Array:
     """Pure-XLA reference. table [P*L, steps*8, 128, 2] fp32 (used at bf16
     precision, like the kernel), positions [N, 3] in [0,1] -> [N, P*2*L]."""
     plan = _level_plan(scalings, num_steps)
@@ -768,7 +812,8 @@ def parity_hash_encode_ref(table: jax.Array, positions: jax.Array,
     per_level = []
     for scale, dense, half in plan:
         lo, hi, w = _corner_index_math(x[None], y[None], z[None], scale,
-                                       dense, half, num_steps, s0, s1, s2)
+                                       dense, half, num_steps, s0, s1, s2,
+                                       hash_fn)
         per_level.append((hi * PARITIES + s_ids, lo, w))
     outs = []
     for p in range(num_packed):
@@ -802,33 +847,39 @@ def _use_v2(num_steps: int, pl_rows: int) -> bool:
     return num_steps > 32 or table_bytes > 6 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def parity_hash_encode(table: jax.Array, positions: jax.Array,
                        scalings, num_steps: int,
-                       tile: int = 0) -> jax.Array:
+                       tile: int = 0,
+                       hash_fn: str = "reference") -> jax.Array:
     """TPU hash encoding. table [P*L, steps*8, 128, 2] fp32,
     positions [N, 3] (N multiple of 128) -> [N, P*2*L] fp32.
 
     Channel c = (p*2+f)*L + l: feature-major within each packed pair.
     Uses the Pallas kernel on TPU, the jnp reference elsewhere.
-    tile=0 auto-selects the grid tile.
+    tile=0 auto-selects the grid tile.  hash_fn: "reference" (the primes
+    XOR hash, ``encodings.py:289-306``) or "morton" (locality-preserving
+    top bits: coherent tiles touch few table slabs and the kernel skips
+    the rest; different collision structure — opt-in).
     """
-    return _fwd(table, positions, scalings, num_steps, tile)
+    return _fwd(table, positions, scalings, num_steps, tile, hash_fn)
 
 
-def _fwd(table, positions, scalings, num_steps, tile):
+def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
     if jax.default_backend() != "tpu":
-        return parity_hash_encode_ref(table, positions, scalings, num_steps)
+        return parity_hash_encode_ref(table, positions, scalings, num_steps,
+                                      hash_fn)
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
     num_packed = table.shape[0] // num_levels
     n = positions.shape[0]
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
-    if _use_v2(num_steps, table.shape[0]):
+    if _use_v2(num_steps, table.shape[0]) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
                            num_steps=num_steps,
-                           tile=tile or _pick_tile(n, 2048))
+                           tile=tile or _pick_tile(n, 2048),
+                           hash_fn=hash_fn)
         return _internal_to_public(out, num_packed, num_levels, n)
     out = _fwd_call(pack_table(table), pos_t, plan=plan, num_steps=num_steps,
                     num_packed=num_packed, num_levels=num_levels,
@@ -836,11 +887,13 @@ def _fwd(table, positions, scalings, num_steps, tile):
     return out.T
 
 
-def _fwd_rule(table, positions, scalings, num_steps, tile):
-    return _fwd(table, positions, scalings, num_steps, tile), positions
+def _fwd_rule(table, positions, scalings, num_steps, tile,
+              hash_fn="reference"):
+    return _fwd(table, positions, scalings, num_steps, tile,
+                hash_fn), positions
 
 
-def _bwd_rule(scalings, num_steps, tile, positions, g):
+def _bwd_rule(scalings, num_steps, tile, hash_fn, positions, g):
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
     num_packed = g.shape[-1] // (2 * num_levels)
@@ -850,16 +903,17 @@ def _bwd_rule(scalings, num_steps, tile, positions, g):
         shape = (gl, num_steps * PARITIES, LANES, 2)
         _, vjp = jax.vjp(
             lambda t: parity_hash_encode_ref(t, positions, scalings,
-                                             num_steps),
+                                             num_steps, hash_fn),
             jnp.zeros(shape, jnp.float32))
         return vjp(g)[0], jnp.zeros_like(positions)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
-    if _use_v2(num_steps, gl):
+    if _use_v2(num_steps, gl) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         g_int = _public_to_internal(g, num_packed, num_levels)
         gtab = _bwd_call_v2(pos_t, g_int, meta, scale, pl_rows=gl,
                             num_steps=num_steps,
-                            tile=tile or _pick_tile(n, 2048))
+                            tile=tile or _pick_tile(n, 2048),
+                            hash_fn=hash_fn)
         # [gl, 2, 8, steps, 128] parity-major -> [gl, steps*8, 128, 2]
         gtab = jnp.moveaxis(gtab, 1, -1)      # [gl, 8, steps, 128, 2]
         gtab = jnp.swapaxes(gtab, 1, 2)       # [gl, steps, 8, 128, 2]

@@ -259,3 +259,43 @@ def test_q8_encoding_module(monkeypatch):
     # quantized mode must not propagate gradients to the table
     g = jax.grad(lambda p: float(0) + jnp.sum(enc.apply(p, pos) ** 2))(params)
     assert float(jnp.max(jnp.abs(g["params"]["table"]))) == 0.0
+
+
+def test_morton_mode_kernel_matches_ref(monkeypatch):
+    """v2 kernel under hash_fn='morton' == the jnp reference with the same
+    hash, including the per-tile slab-skip masks (disjointness means any
+    wrongly-skipped slab would zero some output)."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=3, steps=8, N=512, min_res=8,
+                                  max_res=128)
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 8, "morton")
+    out = hp.parity_hash_encode(table, pos, scalings, 8, 0, "morton")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # morton and reference hashes genuinely index differently
+    ref0 = hp.parity_hash_encode_ref(table, pos, scalings, 8, "reference")
+    assert float(jnp.max(jnp.abs(ref - ref0))) > 0
+
+
+def test_morton_field_is_continuous():
+    """Field continuity is a property of parity partitioning, not the
+    hash: check no jumps across a cell boundary under morton."""
+    scalings = (8.0,)
+    table = hp.init_parity_table(jax.random.PRNGKey(0), 1, 2, scale=0.5)
+    base = jnp.asarray([[0.5, 0.37, 0.71]])  # x crosses 4/8 boundary
+    eps = 1e-5
+    lo_p = hp.parity_hash_encode_ref(
+        table, base - jnp.asarray([[eps, 0, 0]]), scalings, 2, "morton")
+    hi_p = hp.parity_hash_encode_ref(
+        table, base + jnp.asarray([[eps, 0, 0]]), scalings, 2, "morton")
+    np.testing.assert_allclose(np.asarray(lo_p), np.asarray(hi_p),
+                               atol=1e-3)
+
+
+def test_morton_grads_flow(monkeypatch):
+    """custom_vjp under morton: gradients land on touched entries only."""
+    scalings, table, pos = _setup(L=2, steps=2, N=128)
+    g = jax.grad(lambda t: jnp.sum(
+        hp.parity_hash_encode(t, pos, scalings, 2, 0, "morton") ** 2))(table)
+    assert float(jnp.max(jnp.abs(g))) > 0
