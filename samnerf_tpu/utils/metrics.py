@@ -32,6 +32,8 @@ def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
     (matches torchmetrics' structural_similarity_index_measure defaults)."""
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     kern = _gaussian_kernel(kernel_size, sigma)[..., None, None]  # [k,k,1,1]
 
     def filt(x):
@@ -44,11 +46,16 @@ def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
 
     mu_p = filt(pred)
     mu_t = filt(target)
-    mu_pp = filt(pred * pred) - mu_p ** 2
-    mu_tt = filt(target * target) - mu_t ** 2
-    mu_pt = filt(pred * target) - mu_p * mu_t
-    num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
-    den = (mu_p ** 2 + mu_t ** 2 + c1) * (mu_pp + mu_tt + c2)
+    # E[x^2]-E[x]^2 can go slightly negative in floating point; clamp the
+    # variances at 0 and bound the covariance by Cauchy-Schwarz so the
+    # per-pixel score stays in [-1, 1] no matter the input scale.
+    var_p = jnp.maximum(filt(pred * pred) - mu_p ** 2, 0.0)
+    var_t = jnp.maximum(filt(target * target) - mu_t ** 2, 0.0)
+    cov = filt(pred * target) - mu_p * mu_t
+    bound = jnp.sqrt(var_p * var_t)
+    cov = jnp.clip(cov, -bound, bound)
+    num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2)
     return jnp.mean(num / den)
 
 

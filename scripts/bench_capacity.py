@@ -12,6 +12,15 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--serve-only", action="store_true",
+                    help="skip training; frame timing only")
+    ap.add_argument("--q8", action="store_true")
+    ap.add_argument("--morton", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -21,11 +30,14 @@ def main():
     from samnerf_tpu.engine.trainer import TrainState, make_train_step
     from samnerf_tpu.models.sam_model import SAMModel, SAMModelConfig
 
-    cfg = SAMModelConfig(num_images=4)   # reference-capacity defaults
+    cfg = SAMModelConfig(num_images=4,   # reference-capacity defaults
+                         hash_q8_serve=args.q8,
+                         hash_fn="morton" if args.morton else "reference")
     model = SAMModel(cfg)
     print(f"capacity: nerf 2^{cfg.log2_hashmap_size}, "
           f"sam {cfg.hashgrid_sizes}, "
-          f"prop {[a['log2_hashmap_size'] for a in cfg.proposal_net_args]}")
+          f"prop {[a['log2_hashmap_size'] for a in cfg.proposal_net_args]}, "
+          f"q8={args.q8}, hash_fn={cfg.hash_fn}")
 
     n_rays = 16384
     c2w = np.eye(4)[None, :3, :4].astype(np.float32).repeat(4, 0)
@@ -52,6 +64,37 @@ def main():
             jax.random.PRNGKey(0), bundle)
     nbytes = sum(x.nbytes for x in jax.tree.leaves(params))
     print(f"init: {time.time()-t0:.0f}s, params {nbytes/1e6:.0f} MB")
+
+    if args.serve_only:
+        from samnerf_tpu.engine.eval_render import ImageRenderer
+        renderer = ImageRenderer(model, chunk=1 << 13)
+        cam = Cameras(camera_to_worlds=jnp.asarray(c2w[:1]),
+                      fx=jnp.asarray([[400.0]]), fy=jnp.asarray([[400.0]]),
+                      cx=jnp.asarray([[256.0]]), cy=jnp.asarray([[256.0]]),
+                      width=512, height=512)
+        t0 = time.time()
+        renderer.render_image(params, cam, 0, 512, 512,
+                              features=("sam", "clipseg"))
+        print(f"frame compile+1: {time.time()-t0:.0f}s")
+        # vary the camera so the tunnel cannot replay cached results
+        times = []
+        for i in range(3):
+            c2 = np.eye(4)[:3, :4].astype(np.float32)
+            c2[0, 3] = 0.02 * (i + 1)
+            c2[2, 3] = 1.5
+            cam_i = Cameras(camera_to_worlds=jnp.asarray(c2[None]),
+                            fx=jnp.asarray([[400.0]]),
+                            fy=jnp.asarray([[400.0]]),
+                            cx=jnp.asarray([[256.0]]),
+                            cy=jnp.asarray([[256.0]]),
+                            width=512, height=512)
+            t0 = time.time()
+            renderer.render_image(params, cam_i, 0, 512, 512,
+                                  features=("sam", "clipseg"))
+            times.append(time.time() - t0)
+        dt = min(times)
+        print(f"frame: {dt*1e3:.0f} ms = {1/dt:.2f} FPS")
+        return
 
     groups = {k: OptimizerGroupConfig() for k in
               ("proposal_networks", "fields", "sam_field", "conv")}

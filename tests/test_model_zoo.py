@@ -172,7 +172,7 @@ def test_zoo_registry_and_train_step():
     methods = zoo_methods()
     assert set(methods) == {"vanilla-nerf", "mipnerf", "instant-ngp",
                             "tensorf", "depth-nerfacto", "semantic-nerfw",
-                            "nerfplayer-nerfacto"}
+                            "nerfplayer-nerfacto", "nerfplayer-ngp"}
 
     # drive one optimization step for one representative method
     from samnerf_tpu.models import vanilla_nerf as m
