@@ -110,6 +110,32 @@ class TensorboardWriter(Writer):
         self.tb.add_image(name, image, step, dataformats="HWC")
 
 
+class WandbWriter(Writer):
+    """Weights & Biases event writer (reference ``writer.py`` WandbWriter).
+
+    Import-gated: the ``wandb`` package is optional; construction raises
+    ImportError with instructions when it is absent."""
+
+    def __init__(self, log_dir: Path, experiment_name: str = "samnerf_tpu"):
+        try:
+            import wandb
+        except ImportError as e:
+            raise ImportError(
+                "`--vis wandb` requires the wandb package "
+                "(pip install wandb)") from e
+        self._wandb = wandb
+        wandb.init(project=experiment_name, dir=str(log_dir),
+                   reinit=True)
+
+    def write_scalar(self, name, value, step):
+        self._wandb.log({name: value}, step=step)
+
+    def write_image(self, name, image, step):
+        import numpy as np
+        self._wandb.log({name: self._wandb.Image(np.asarray(image))},
+                        step=step)
+
+
 _WRITERS: List[Writer] = []
 
 
@@ -120,6 +146,8 @@ def setup_local_writer(log_every: int = 100):
 def setup_event_writer(kind: str, log_dir: Path):
     if kind == "tensorboard":
         _WRITERS.append(TensorboardWriter(log_dir))
+    elif kind == "wandb":
+        _WRITERS.append(WandbWriter(log_dir))
     elif kind == "json":
         _WRITERS.append(JsonWriter(Path(log_dir) / "metrics.json"))
 
