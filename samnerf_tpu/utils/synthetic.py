@@ -69,7 +69,7 @@ _SPHERES = (  # center, radius, (color_a, color_b), texture frequency
 )
 
 
-def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w):
+def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w, detail=1.0):
     """Analytic render of a structured scene: three procedurally-textured
     spheres on a checkerboard ground plane with a gradient sky.  Harder
     quality fixture than the single flat ball (fine texture exercises the
@@ -93,7 +93,8 @@ def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w):
                                             dirs[:, 2]), 1e6)
     pz = origins + tz[:, None] * dirs
     in_plane = (tz > 0) & (np.abs(pz[:, 0]) < 1.6) & (np.abs(pz[:, 1]) < 1.6)
-    checker = ((np.floor(pz[:, 0] * 3) + np.floor(pz[:, 1] * 3)) % 2)
+    cf = 3 * detail
+    checker = ((np.floor(pz[:, 0] * cf) + np.floor(pz[:, 1] * cf)) % 2)
     plane_col = np.where(checker[:, None] > 0.5,
                          np.array([0.85, 0.85, 0.8])[None],
                          np.array([0.25, 0.22, 0.2])[None])
@@ -107,7 +108,8 @@ def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w):
         p = origins + t[:, None] * dirs - center
         theta = np.arctan2(p[:, 1], p[:, 0])
         phi = np.arccos(np.clip(p[:, 2] / rad, -1, 1))
-        stripe = (np.sin(freq * theta) * np.sin(freq * phi)) > 0
+        stripe = (np.sin(freq * detail * theta)
+                  * np.sin(freq * detail * phi)) > 0
         col = np.where(stripe[:, None], ca[None], cb[None])
         # simple lambertian shading from a fixed light
         light = np.array([0.5, -0.7, 0.9])
@@ -129,7 +131,8 @@ def write_textured_scene(out_dir: Path, num_train: int = 24,
                          num_test: int = 4, h: int = 128, w: int = 128,
                          radius: float = 2.2,
                          with_features: bool = False,
-                         feature_long_side: int = 16) -> Path:
+                         feature_long_side: int = 16,
+                         detail: float = 1.0) -> Path:
     """Write the structured textured scene in samnerf layout (two camera
     rings at different elevations for better coverage)."""
     from PIL import Image
@@ -147,7 +150,8 @@ def write_textured_scene(out_dir: Path, num_train: int = 24,
         elev = 0.7 if i % 2 == 0 else 1.3
         pos = np.array([radius * np.cos(ang), radius * np.sin(ang), elev])
         c2w = look_at_c2w(pos, np.array([0.0, 0.0, 0.25]))
-        img, hit = render_gt_image_textured(c2w, fx, fy, cx, cy, h, w)
+        img, hit = render_gt_image_textured(c2w, fx, fy, cx, cy, h, w,
+                                            detail=detail)
         name = f"frame_{i:05d}.png"
         Image.fromarray(img).save(out_dir / "images" / name)
         frames.append({"file_path": f"images/{name}",

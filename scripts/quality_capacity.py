@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch):
+def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
+                   args_views=24):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -31,7 +32,7 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch):
         hashgrid_sizes=(log2_size, log2_size),
         proposal_net_args=tuple({**a, "log2_hashmap_size": prop_log2}
                                 for a in preset.model.proposal_net_args),
-        num_images=24)
+        num_images=args_views)
     dm = DataManager(DataManagerConfig(
         dataparser=DataparserConfig(data=scene, train_val_json_split=True),
         train_num_rays_per_batch=rays_per_batch,
@@ -75,17 +76,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--rays", type=int, default=16384)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--detail", type=float, default=1.0)
     ap.add_argument("--out", default="docs/QUALITY.md")
     args = ap.parse_args()
 
     from samnerf_tpu.utils.synthetic import write_textured_scene
-    scene = write_textured_scene(Path("/tmp/qscene"), num_train=24,
-                                 num_test=4, h=128, w=128,
-                                 with_features=True)
+    scene = write_textured_scene(Path("/tmp/qscene"),
+                                 num_train=args.views,
+                                 num_test=4, h=args.res, w=args.res,
+                                 with_features=True, detail=args.detail)
     rows = []
     for log2, plog2 in ((15, 13), (17, 15), (19, 17)):
         print(f"--- capacity 2^{log2} / proposals 2^{plog2}", flush=True)
-        m = train_and_eval(scene, log2, plog2, args.steps, args.rays)
+        m = train_and_eval(scene, log2, plog2, args.steps, args.rays,
+                           args_views=args.views)
         print(m, flush=True)
         rows.append((log2, plog2, m))
 
@@ -95,8 +101,10 @@ def main():
         "# Quality vs hash-table capacity",
         "",
         "Structured textured synthetic scene (3 procedurally-textured",
-        "spheres + checkerboard ground, `synthetic.write_textured_scene`),",
-        f"24 train / 4 test views at 128x128, {args.steps} steps of",
+        "spheres + checkerboard ground, `synthetic.write_textured_scene`,",
+        f"texture detail x{args.detail:g}),",
+        f"{args.views} train / 4 test views at {args.res}x{args.res}, "
+        f"{args.steps} steps of",
         f"`samnerf_distill` ({args.rays} rays/step) on one v5e chip.",
         "Reference capacity is 2^19 fields / 2^17 proposals",
         "(`nerfacto.py:89,105-106`, `sam_field.py:97-110`).",
