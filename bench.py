@@ -32,7 +32,11 @@ def main():
     from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
 
     H = W = 512
-    cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True)
+    # serve-mode config: on-the-fly int8 table quantization
+    # (hash_q8_serve) — a pure serving optimization; the same trained f32
+    # checkpoint loads unchanged (see ops/hash_pallas.py q8 section)
+    cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True,
+                         hash_q8_serve=True)
     model = SAMModel(cfg)
 
     c2w = np.eye(4)[:3, :4].astype(np.float32)
@@ -127,7 +131,8 @@ def main():
         "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
         "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip, "
-                "REFERENCE-capacity 2^19/2^17 hash tables)",
+                "REFERENCE-capacity 2^19/2^17 hash tables, int8 serve "
+                "tables)",
         "vs_baseline": round(fps / 3.75, 4),
         "tables": f"2^{cfg.log2_hashmap_size} fields / "
                   f"2^{cfg.proposal_net_args[0]['log2_hashmap_size']} props",

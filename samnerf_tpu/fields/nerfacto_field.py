@@ -18,6 +18,29 @@ from samnerf_tpu.fields.mlp import MLP, trunc_exp
 from samnerf_tpu.ops.encodings import sh_encoding
 
 
+def _flatten_sample_major(p):
+    """[..., R, S, 3] -> ([R*S, 3] in sample-major order, unflatten fn).
+
+    The hash kernel scans table slabs per point tile and skips slabs a
+    tile does not touch; tiles of *adjacent rays at the same sample
+    index* are spatially tight (rays a few pixels apart, similar depth),
+    while ray-major order puts a whole depth column (near plane to far)
+    in every tile.  Sample-major flattening measurably cuts the scan
+    cost of coherent (eval/serve) batches; for random training rays it
+    is order-neutral.  MLPs downstream are pointwise, so only the
+    final reshape needs undoing.
+    """
+    if p.ndim == 2:
+        return p, lambda h: h
+    r, s = p.shape[-3], p.shape[-2]
+
+    def unflatten(h):
+        return jnp.swapaxes(h.reshape(*p.shape[:-3], s, r, h.shape[-1]),
+                            -2, -3)
+
+    return jnp.swapaxes(p, -2, -3).reshape(-1, 3), unflatten
+
+
 def _contract_and_select(positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Contraction + in-unit-cube selector (``nerfacto_field.py:242-252``)."""
     p = contract_to_unit(positions)
@@ -68,8 +91,8 @@ class NerfactoField(nn.Module):
     def get_density(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """[R, S, 3] -> (density [R, S, 1], geo_feat [R, S, geo])."""
         p, selector = _contract_and_select(positions)
-        flat = p.reshape(-1, 3)
-        h = self.mlp_base(self.encoding(flat)).reshape(*positions.shape[:-1], -1)
+        flat, unflatten = _flatten_sample_major(p)
+        h = unflatten(self.mlp_base(self.encoding(flat)))
         density_raw, geo = h[..., :1], h[..., 1:]
         density = trunc_exp(density_raw) * selector[..., None]
         return density, geo
@@ -125,7 +148,7 @@ class HashMLPDensityField(nn.Module):
     def __call__(self, positions: jax.Array) -> jax.Array:
         """[R, S, 3] -> density [R, S, 1]."""
         p, selector = _contract_and_select(positions)
-        flat = p.reshape(-1, 3)
+        flat, unflatten = _flatten_sample_major(p)
         enc = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
@@ -137,5 +160,5 @@ class HashMLPDensityField(nn.Module):
             raw = MLP(hidden_dim=self.hidden_dim,
                       num_hidden_layers=self.num_layers - 1, out_dim=1,
                       compute_dtype=self.compute_dtype)(enc)
-        raw = raw.reshape(*positions.shape[:-1], 1)
+        raw = unflatten(raw)
         return trunc_exp(raw) * selector[..., None]

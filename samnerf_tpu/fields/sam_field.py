@@ -69,18 +69,19 @@ class SAMField(nn.Module):
         Positions are contracted + detached here, exactly as the reference
         detaches them (``sam_field.py:116-118``).
         """
+        from samnerf_tpu.fields.nerfacto_field import _flatten_sample_major
         p = contract_to_unit(jax.lax.stop_gradient(positions))
-        flat = p.reshape(-1, 3)
+        flat, unflatten = _flatten_sample_major(p)
         out = {}
         if "sam" in get_features or ("dino" in get_features and self.use_dino):
             x = jnp.concatenate([e(flat) for e in self.sam_encs], axis=-1)
             if "sam" in get_features:
-                out["sam"] = self.sam_net(x).reshape(*positions.shape[:-1], self.sam_dim)
+                out["sam"] = unflatten(self.sam_net(x))
             if "dino" in get_features and self.use_dino:
-                out["dino"] = self.dino_net(x).reshape(*positions.shape[:-1], self.dino_dim)
+                out["dino"] = unflatten(self.dino_net(x))
         if "clipseg" in get_features and self.use_clipseg:
             xc = jnp.concatenate([e(flat) for e in self.clipseg_encs], axis=-1)
-            out["clipseg"] = self.clipseg_net(xc).reshape(*positions.shape[:-1], self.clipseg_dim)
+            out["clipseg"] = unflatten(self.clipseg_net(xc))
         return out
 
 

@@ -735,7 +735,7 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
         return _parity_hash_encode_q8_ref(packed_q8, scales, positions,
                                           scalings, num_steps, hash_fn)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
-    tile = _pick_tile(n, 2048)
+    tile = _pick_tile(n, 8192)
     n_slabs = max(steps8 // slab, 1)
     kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps, tile=tile,
                              slab=slab, n_slabs=n_slabs, hash_fn=hash_fn)
@@ -878,7 +878,7 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
                            num_steps=num_steps,
-                           tile=tile or _pick_tile(n, 2048),
+                           tile=tile or _pick_tile(n, 8192),
                            hash_fn=hash_fn)
         return _internal_to_public(out, num_packed, num_levels, n)
     out = _fwd_call(pack_table(table), pos_t, plan=plan, num_steps=num_steps,
