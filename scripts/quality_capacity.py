@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 
 
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
-                   args_views=24):
+                   args_views=24, hash_fn="reference"):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -32,7 +32,7 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         hashgrid_sizes=(log2_size, log2_size),
         proposal_net_args=tuple({**a, "log2_hashmap_size": prop_log2}
                                 for a in preset.model.proposal_net_args),
-        num_images=args_views)
+        num_images=args_views, hash_fn=hash_fn)
     dm = DataManager(DataManagerConfig(
         dataparser=DataparserConfig(data=scene, train_val_json_split=True),
         train_num_rays_per_batch=rays_per_batch,
@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--detail", type=float, default=1.0)
+    ap.add_argument("--hash-fn", default="reference",
+                    choices=("reference", "morton"))
+    ap.add_argument("--capacities", default="15:13,17:15,19:17",
+                    help="comma list of fieldlog2:proplog2 rows")
     ap.add_argument("--out", default="docs/QUALITY.md")
     args = ap.parse_args()
 
@@ -88,10 +92,12 @@ def main():
                                  num_test=4, h=args.res, w=args.res,
                                  with_features=True, detail=args.detail)
     rows = []
-    for log2, plog2 in ((15, 13), (17, 15), (19, 17)):
+    caps = [tuple(int(x) for x in c.split(":"))
+            for c in args.capacities.split(",")]
+    for log2, plog2 in caps:
         print(f"--- capacity 2^{log2} / proposals 2^{plog2}", flush=True)
         m = train_and_eval(scene, log2, plog2, args.steps, args.rays,
-                           args_views=args.views)
+                           args_views=args.views, hash_fn=args.hash_fn)
         print(m, flush=True)
         rows.append((log2, plog2, m))
 
@@ -106,6 +112,7 @@ def main():
         f"{args.views} train / 4 test views at {args.res}x{args.res}, "
         f"{args.steps} steps of",
         f"`samnerf_distill` ({args.rays} rays/step) on one v5e chip.",
+        f"hash_fn={args.hash_fn}.",
         "Reference capacity is 2^19 fields / 2^17 proposals",
         "(`nerfacto.py:89,105-106`, `sam_field.py:97-110`).",
         "",
