@@ -299,3 +299,30 @@ def test_morton_grads_flow(monkeypatch):
     g = jax.grad(lambda t: jnp.sum(
         hp.parity_hash_encode(t, pos, scalings, 2, 0, "morton") ** 2))(table)
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_sample_major_flattening_is_order_invariant():
+    """The fields flatten [R, S, 3] sample-major before the encode (serve
+    coherence; fields/nerfacto_field._flatten_sample_major); the encode is
+    pointwise per position, so field outputs must be bit-identical to a
+    plain ray-major evaluation."""
+    from samnerf_tpu.fields.nerfacto_field import (HashMLPDensityField,
+                                                   _flatten_sample_major)
+
+    p = jax.random.uniform(jax.random.PRNGKey(0), (6, 5, 3), minval=-1.5,
+                           maxval=1.5)
+    flat, unflatten = _flatten_sample_major(p)
+    assert flat.shape == (30, 3)
+    # round trip restores order exactly
+    np.testing.assert_array_equal(np.asarray(unflatten(flat)), np.asarray(p))
+
+    field = HashMLPDensityField(num_levels=2, max_res=32,
+                                log2_hashmap_size=8, hidden_dim=8,
+                                num_layers=2)
+    params = field.init(jax.random.PRNGKey(1), p)
+    out = field.apply(params, p)
+    # permuting rays permutes outputs identically (pointwise)
+    perm = jnp.asarray([3, 1, 5, 0, 4, 2])
+    out_perm = field.apply(params, p[perm])
+    np.testing.assert_allclose(np.asarray(out_perm), np.asarray(out)[perm],
+                               rtol=0, atol=0)
