@@ -32,11 +32,14 @@ def main():
     from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
 
     H = W = 512
-    # serve-mode config: on-the-fly int8 table quantization
-    # (hash_q8_serve) — a pure serving optimization; the same trained f32
-    # checkpoint loads unchanged (see ops/hash_pallas.py q8 section)
+    # serve-mode config: on-the-fly int8 tables (hash_q8_serve — pure
+    # serving optimization, same trained f32 checkpoint) + the
+    # locality-preserving hash (hash_fn="morton" — a train+serve mode
+    # whose slab-skip makes coherent eval tiles cheap; quality parity
+    # with the reference hash measured at 2^19 in docs/QUALITY_morton.md:
+    # test PSNR 22.27 vs 22.28, SSIM 0.866 vs 0.869)
     cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True,
-                         hash_q8_serve=True)
+                         hash_q8_serve=True, hash_fn="morton")
     model = SAMModel(cfg)
 
     c2w = np.eye(4)[:3, :4].astype(np.float32)
@@ -132,7 +135,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip, "
                 "REFERENCE-capacity 2^19/2^17 hash tables, int8 serve "
-                "tables)",
+                "tables, morton hash)",
         "vs_baseline": round(fps / 3.75, 4),
         "tables": f"2^{cfg.log2_hashmap_size} fields / "
                   f"2^{cfg.proposal_net_args[0]['log2_hashmap_size']} props",
