@@ -98,6 +98,13 @@ def topk_sharpened_weights(weights: jax.Array, k: int,
         (sharpened [R, k, 1], ids [R, k] int32 sample indices).
     """
     w, ids = jax.lax.top_k(weights[..., 0], k)  # [R, k]
+    # Re-sort the k winners by sample (depth) index: downstream is a
+    # weighted mean (order-invariant), but depth order keeps the gathered
+    # positions spatially coherent so the hash kernel's sample-major
+    # tiles skip table slabs (weight order interleaves depths).
+    order = jnp.argsort(ids, axis=-1)
+    ids = jnp.take_along_axis(ids, order, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
     w = w.astype(jnp.float32) ** temperature
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-37)
     return w[..., None], ids
