@@ -69,7 +69,7 @@ def main():
     dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
                           False, method=Sam.decode_masks)
 
-    renderer = ImageRenderer(model, chunk=1 << 13)
+    renderer = ImageRenderer(model, chunk=1 << 15)
     feats = ("sam", "clipseg")
 
     @jax.jit

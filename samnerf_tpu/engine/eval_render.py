@@ -68,7 +68,7 @@ def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
 class ImageRenderer:
     """Per-resolution jitted frame renderers over a shared model."""
 
-    def __init__(self, model: SAMModel, chunk: int = 1 << 13):
+    def __init__(self, model: SAMModel, chunk: int = 1 << 15):
         self.model = model
         self.cfg = model.config
         self.chunk = chunk

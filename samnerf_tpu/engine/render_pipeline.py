@@ -157,7 +157,7 @@ class SamNerfRenderer:
 
     def __init__(self, model: SAMModel, sam_predictor=None,
                  clipseg_predictor=None, lang_sam=None,
-                 chunk: int = 1 << 13):
+                 chunk: int = 1 << 15):
         self.renderer = ImageRenderer(model, chunk=chunk)
         self.cfg = model.config
         self.predictor = sam_predictor
