@@ -447,17 +447,12 @@ dataparser_registry.update({
 
 
 def _quat_to_rot(q) -> np.ndarray:
-    """Scalar-first (w, x, y, z) unit quaternion -> 3x3 rotation matrix
-    (the convention the NuScenes devkit's pyquaternion uses,
-    ``nuscenes_dataparser.py:37-49``)."""
-    w, x, y, z = (float(v) for v in q)
-    n = (w * w + x * x + y * y + z * z) ** 0.5
-    w, x, y, z = w / n, x / n, y / n, z / n
-    return np.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
+    """Scalar-first (w, x, y, z) quaternion -> 3x3 rotation matrix (the
+    convention the NuScenes devkit's pyquaternion uses,
+    ``nuscenes_dataparser.py:37-49``); normalizing helper shared with
+    the converters."""
+    from samnerf_tpu.preprocessing.converters import _quat_to_rot as qr
+    return qr(*(float(v) for v in q))
 
 
 def _nusc_pose(rotation, translation) -> np.ndarray:

@@ -82,6 +82,10 @@ def record3d_to_json(metadata_path: Path, output_dir: Path,
 
 
 def _quat_to_rot(w, x, y, z) -> np.ndarray:
+    """Scalar-first unit quaternion -> 3x3 rotation (normalizes first;
+    shared by the polycam/record3d converters and the NuScenes parser)."""
+    n = (w * w + x * x + y * y + z * z) ** 0.5
+    w, x, y, z = w / n, x / n, y / n, z / n
     return np.array([
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],

@@ -56,7 +56,10 @@ def main(argv=None) -> int:
 
     rows = {}
     for scene in scenes:
-        config = apply_overrides(registry[method], rest)
+        # rebuild from a fresh registry: apply_overrides mutates the
+        # config in place, so reusing one object would compound
+        # output_dir (and any other override) across scenes
+        config = apply_overrides(method_configs()[method], rest)
         config.datamanager.dataparser.data = scene
         config.trainer.output_dir = (Path(config.trainer.output_dir)
                                      / scene.name / method)

@@ -30,29 +30,11 @@ sys.path.insert(0, ".")
 
 from samnerf_tpu.ops import hash_pallas as hp
 
+from _bench_util import measure as _measure
+
+
 def measure(fn, x, *rest, iters=30, runs=3):
-    """Time `fn(x, *rest)` per call: long lax.scan chain inside ONE jit
-    (so total work >> tunnel RTT), output folded into the carry to chain
-    iterations, tiny fetch to force completion, min over runs."""
-
-    @jax.jit
-    def run(x, *rest):
-        def step(c, _):
-            out = fn(c, *rest)
-            # fold the FULL output into the carry: a single-element fold
-            # lets XLA dead-code-eliminate almost all of the op
-            eps = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(c.dtype)
-            return c + eps, None
-        c, _ = lax.scan(step, x, None, length=iters)
-        return c.ravel()[:1]
-
-    np.asarray(run(x, *rest))          # compile + warm
-    ts = []
-    for i in range(runs):
-        t0 = time.perf_counter()
-        np.asarray(run(x + (i + 1) * 1e-4, *rest))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / iters
+    return _measure(fn, x, *rest, iters=iters, runs=runs)
 
 
 def calibrate():

@@ -18,24 +18,12 @@ from samnerf_tpu.ops import hash_pallas as hp
 from samnerf_tpu.ops.encodings import hash_grid_scalings
 
 
+from _bench_util import measure as _measure
+
+
 def measure(fn, x, *rest, iters=20, runs=3):
-    @jax.jit
-    def run(x, *rest):
-        def step(c, _):
-            out = fn(c, *rest)
-            eps = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(c.dtype)
-            return c + eps, None
-        c, _ = lax.scan(step, x, None, length=iters)
-        return c.ravel()[:1]
-    t0 = time.perf_counter()
-    np.asarray(run(x, *rest))
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for i in range(runs):
-        t0 = time.perf_counter()
-        np.asarray(run(x + (i + 1) * 1e-5, *rest))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / iters, compile_s
+    return _measure(fn, x, *rest, iters=iters, runs=runs, perturb=1e-5,
+                    return_compile_s=True)
 
 
 def bench(name, L, P, log2_size, n, min_res=16, max_res=2048, grad=False):

@@ -38,35 +38,14 @@ def main():
     pts_c = np.stack([0.3 + 0.4 * t, 0.3 + 0.3 * np.sin(6 * t),
                       0.3 + 0.4 * t * t], -1).astype(np.float32)
 
-    K = 8
+    from _bench_util import measure
 
     def bench(call, tab, base, label):
-        def one(pos_t):
-            return call(tab, pos_t)
-
-        def chained(pos_t):
-            def body(p, _):
-                out = one(p)
-                flat = out.ravel()
-                eps = jnp.sum(flat[:8]) * 1e-12
-                return p + eps, jnp.sum(flat[:8])
-            p, outs = jax.lax.scan(body, pos_t, None, length=K)
-            return jnp.sum(outs)
-
-        f = jax.jit(chained)
         pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(
             jnp.asarray(base).T)
-        float(f(pos_t))                            # compile + warm
-        ts = []
-        for i in range(3):
-            p = jnp.zeros((8, n), jnp.float32).at[:3].set(
-                jnp.asarray(base + 0.0003 * (i + 1)).T)
-            t0 = time.time()
-            float(f(p))
-            ts.append(time.time() - t0)
-        # subtract the 1-rep dispatch floor via a K=1 variant? keep raw /K
-        ms = min(ts) / K * 1e3
-        glps = n * L * 8 / (ms / 1e3) / 1e9
+        sec = measure(lambda p: call(tab, p), pos_t, iters=8, perturb=3e-4)
+        ms = sec * 1e3
+        glps = n * L * 8 / sec / 1e9
         print(f"  {label:28s} {ms:8.2f} ms/call  ({glps:5.1f} G lookups/s)")
 
     for hf in ("reference", "morton"):

@@ -13,23 +13,11 @@ from jax import lax
 sys.path.insert(0, ".")
 
 
+from _bench_util import measure as _measure
+
+
 def measure(fn, x, *rest, iters=10, runs=3):
-    @jax.jit
-    def run(x, *rest):
-        def step(c, _):
-            out = fn(c, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (jnp.sum(leaf.astype(jnp.float32)) * 1e-12).astype(c.dtype)
-            return c + eps, None
-        c, _ = lax.scan(step, x, None, length=iters)
-        return c.ravel()[:1]
-    np.asarray(run(x, *rest))
-    ts = []
-    for i in range(runs):
-        t0 = time.perf_counter()
-        np.asarray(run(x + (i + 1) * 1e-4, *rest))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / iters
+    return _measure(fn, x, *rest, iters=iters, runs=runs)
 
 
 def bench_encoder(model_type):
