@@ -912,7 +912,7 @@ def _bwd_rule(scalings, num_steps, tile, hash_fn, positions, g):
         g_int = _public_to_internal(g, num_packed, num_levels)
         gtab = _bwd_call_v2(pos_t, g_int, meta, scale, pl_rows=gl,
                             num_steps=num_steps,
-                            tile=tile or _pick_tile(n, 2048),
+                            tile=tile or _pick_tile(n, 8192),
                             hash_fn=hash_fn)
         # [gl, 2, 8, steps, 128] parity-major -> [gl, steps*8, 128, 2]
         gtab = jnp.moveaxis(gtab, 1, -1)      # [gl, 8, steps, 128, 2]
