@@ -107,3 +107,35 @@ def test_sd_guidance_pipeline_analytic_backbone():
 def test_plugin_discovery_empty():
     from samnerf_tpu.utils.plugins import discover_methods
     assert discover_methods() == {}
+
+
+def test_benchmark_driver_fresh_config_per_scene(tmp_path, monkeypatch):
+    """Regression: apply_overrides mutates in place; the driver must
+    rebuild the config per scene or output_dir compounds across scenes."""
+    from samnerf_tpu.scripts import benchmark as bm
+
+    seen_dirs = []
+
+    def fake_train_loop(config, num_devices=None):
+        seen_dirs.append(str(config.trainer.output_dir))
+        return object()
+
+    monkeypatch.setattr("samnerf_tpu.train.train_loop", fake_train_loop)
+    monkeypatch.setattr("samnerf_tpu.train.save_config", lambda c: None)
+    import samnerf_tpu.utils.eval_utils as eu
+    monkeypatch.setattr(eu, "compute_eval_metrics",
+                        lambda t, max_images=None: {"psnr": 30.0,
+                                                    "ssim": 0.9,
+                                                    "num_images": 1})
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    out = tmp_path / "bench.json"
+    rc = bm.main(["samnerf_distill", "--scenes",
+                  f"{tmp_path}/a,{tmp_path}/b", "--output", str(out),
+                  "--trainer.output-dir", str(tmp_path / "runs")])
+    assert rc == 0
+    assert seen_dirs == [str(tmp_path / "runs" / "a" / "samnerf_distill"),
+                         str(tmp_path / "runs" / "b" / "samnerf_distill")]
+    import json
+    summary = json.loads(out.read_text())
+    assert summary["mean_psnr"] == 30.0 and set(summary["scenes"]) == {"a", "b"}
