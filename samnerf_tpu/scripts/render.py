@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--orbit-radius", type=float, default=1.5)
     ap.add_argument("--fov-deg", type=float, default=60.0)
+    ap.add_argument("--traj", default="orbit",
+                    choices=("orbit", "spiral", "interpolate", "filename"),
+                    help="trajectory source (reference scripts/render.py "
+                         "--traj: spiral | interpolate | filename)")
+    ap.add_argument("--camera-path-filename", default="camera_path.json",
+                    help="viewer camera-path export (with --traj filename)")
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -56,27 +62,55 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    from samnerf_tpu.core import camera_paths as cp
+
     trainer, config = eval_setup(Path(args.run_dir))
     renderer = ImageRenderer(trainer.model)
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     focal = 0.5 * args.width / np.tan(np.deg2rad(args.fov_deg) / 2)
-    for i in range(args.num_frames):
-        theta = 2 * np.pi * i / args.num_frames
-        c2w = orbit_c2w(theta, args.orbit_radius)
-        cams = Cameras(
-            camera_to_worlds=jnp.asarray(c2w[None], jnp.float32),
-            fx=jnp.asarray([[focal]]), fy=jnp.asarray([[focal]]),
-            cx=jnp.asarray([[args.width / 2.0]]),
-            cy=jnp.asarray([[args.height / 2.0]]),
+    if args.traj == "filename":
+        import json
+        path_cams = cp.get_path_from_json(
+            json.loads(Path(args.camera_path_filename).read_text()))
+        w, h = path_cams.width, path_cams.height
+    elif args.traj == "interpolate":
+        import jax
+        eval_cams = jax.tree.map(jnp.asarray,
+                                 trainer.datamanager.eval_cameras)
+        steps = max(args.num_frames // max(eval_cams.num_cameras - 1, 1), 1)
+        path_cams = cp.get_interpolated_camera_path(eval_cams, steps)
+        w, h = args.width, args.height
+    elif args.traj == "spiral":
+        import jax
+        cams0 = jax.tree.map(jnp.asarray, trainer.datamanager.cameras)
+        start = jax.tree.map(lambda x: x[:1] if hasattr(x, "ndim") else x,
+                             cams0)
+        path_cams = cp.get_spiral_path(start, steps=args.num_frames,
+                                       radius=0.1)
+        w, h = args.width, args.height
+    else:
+        c2ws = np.stack([orbit_c2w(2 * np.pi * i / args.num_frames,
+                                   args.orbit_radius)
+                         for i in range(args.num_frames)])
+        n = c2ws.shape[0]
+        path_cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2ws, jnp.float32),
+            fx=jnp.full((n, 1), focal), fy=jnp.full((n, 1), focal),
+            cx=jnp.full((n, 1), args.width / 2.0),
+            cy=jnp.full((n, 1), args.height / 2.0),
             width=args.width, height=args.height)
-        out = renderer.render_image(trainer.state.params, cams, 0,
-                                    width=args.width, height=args.height)
+        w, h = args.width, args.height
+
+    num = path_cams.num_cameras
+    for i in range(num):
+        out = renderer.render_image(trainer.state.params, path_cams, i,
+                                    width=w, height=h)
         img = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(out_dir / f"frame_{i:05d}.png")
-        print(f"frame {i + 1}/{args.num_frames}", end="\r")
-    print(f"\nwrote {args.num_frames} frames to {out_dir}")
+        print(f"frame {i + 1}/{num}", end="\r")
+    print(f"\nwrote {num} frames to {out_dir}")
     return 0
 
 

@@ -20,9 +20,46 @@ def find_latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
     return ckpts[-1] if ckpts else None
 
 
+def _restore_json(obj, raw):
+    """Recursively overlay a saved ``config.json`` subtree onto a config
+    dataclass, coercing JSON values back to the field's current type.
+    Fields whose current value is not JSON-representable (dtypes,
+    callables) keep the preset default.  Returns the (possibly new)
+    object so frozen dataclasses work too."""
+    if dataclasses.is_dataclass(obj) and isinstance(raw, dict):
+        updates = {}
+        for f in dataclasses.fields(obj):
+            if f.name not in raw:
+                continue
+            updates[f.name] = _restore_json(getattr(obj, f.name),
+                                            raw[f.name])
+        return dataclasses.replace(obj, **updates) if updates else obj
+    cur = obj
+    if isinstance(cur, Path):
+        return Path(raw)
+    if isinstance(cur, tuple):
+        if raw is None:
+            return cur
+        elem = cur[0] if cur else None
+        return tuple(_restore_json(elem, v) if elem is not None else v
+                     for v in raw)
+    if isinstance(cur, dict):
+        if not isinstance(raw, dict):
+            return cur
+        return {k: (_restore_json(cur[k], v) if k in cur else v)
+                for k, v in raw.items()}
+    if cur is None or isinstance(cur, (bool, int, float, str)):
+        return raw
+    return cur   # non-JSON leaf (dtype, callable): keep the default
+
+
 def eval_setup(run_dir: Path):
     """Rebuild (trainer, config) from a run directory containing
-    ``config.json`` + ``samnerf_tpu_ckpts/`` (``eval_utils.py:68-107``)."""
+    ``config.json`` + ``samnerf_tpu_ckpts/`` (``eval_utils.py:68-107``).
+
+    The FULL saved config is restored over the method preset (the
+    reference reloads ``config.yml`` wholesale) — a run trained with
+    non-default model/datamanager settings reconstructs correctly."""
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager
     from samnerf_tpu.engine.trainer import Trainer
@@ -30,10 +67,7 @@ def eval_setup(run_dir: Path):
     run_dir = Path(run_dir)
     raw = json.loads((run_dir / "config.json").read_text())
     method = raw["method_name"]
-    config = method_configs()[method]
-    # restore the fields that matter for reconstruction
-    config.datamanager.dataparser.data = Path(
-        raw["datamanager"]["dataparser"]["data"])
+    config = _restore_json(method_configs()[method], raw)
     config.trainer.output_dir = run_dir
     dm = DataManager(config.datamanager)
     model_cfg = dataclasses.replace(config.model,

@@ -88,3 +88,57 @@ def test_pose_adjustment_moves_ray_origin():
     rb = cam.generate_rays(c, idx, coords, camera_opt_to_camera=adj)
     np.testing.assert_allclose(np.asarray(rb.origins), [[0.5, 0.0, 0.0]],
                                atol=1e-6)
+
+
+def test_camera_paths_from_json_and_slerp():
+    """camera_paths vs the reference semantics (camera_paths.py:118-177,
+    camera_utils.py:106-186)."""
+    import numpy as np
+
+    from samnerf_tpu.core import camera_paths as cp
+    from samnerf_tpu.core.cameras import Cameras
+
+    # three.js focal: fov 90 at h=512 -> 256/tan(45) = 256
+    assert abs(cp.three_js_perspective_camera_focal_length(90.0, 512)
+               - 256.0) < 1e-6
+
+    # path from a viewer export
+    c2w = np.eye(4)
+    path = {"render_height": 128, "render_width": 256, "seconds": 2,
+            "camera_path": [
+                {"camera_to_world": c2w.ravel().tolist(), "fov": 60.0},
+                {"camera_to_world": c2w.ravel().tolist(), "fov": 90.0}]}
+    cams = cp.get_path_from_json(path)
+    assert cams.num_cameras == 2 and cams.width == 256 and cams.height == 128
+    assert abs(float(cams.fx[1, 0]) - 64.0) < 1e-4   # 64/tan(45)
+
+    # slerp: endpoints exact, midpoint a valid rotation halfway
+    ra = np.eye(3)
+    th = np.pi / 2
+    rb = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    pa = np.concatenate([ra, np.zeros((3, 1))], 1)
+    pb = np.concatenate([rb, np.array([[1.0], [0], [0]])], 1)
+    seg = cp.get_interpolated_poses(pa, pb, steps=4)
+    assert seg.shape == (4, 3, 4)
+    np.testing.assert_allclose(seg[0], pa, atol=1e-6)
+    mid = seg[2][:3, :3]   # t=0.5 -> rotation by 45 deg
+    np.testing.assert_allclose(mid @ mid.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(mid[0, 0], np.cos(np.pi / 4), atol=1e-6)
+    np.testing.assert_allclose(seg[2][:3, 3], [0.5, 0, 0], atol=1e-6)
+
+    # interpolated camera path across 3 cameras
+    import jax.numpy as jnp
+    base = Cameras(camera_to_worlds=jnp.asarray(
+        np.stack([pa, ((pa + pb) / 2), pb]).astype(np.float32)),
+        fx=jnp.full((3, 1), 100.0), fy=jnp.full((3, 1), 100.0),
+        cx=jnp.full((3, 1), 64.0), cy=jnp.full((3, 1), 64.0),
+        width=128, height=128)
+    interp = cp.get_interpolated_camera_path(base, steps=5)
+    assert interp.num_cameras == 10
+    # spiral: right count, all orthonormal rotations
+    spiral = cp.get_spiral_path(base, steps=7, radius=0.1)
+    assert spiral.num_cameras == 7
+    rs = np.asarray(spiral.camera_to_worlds)[:, :3, :3]
+    for r in rs:
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
