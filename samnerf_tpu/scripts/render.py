@@ -52,6 +52,9 @@ def main(argv=None) -> int:
                          "--traj: spiral | interpolate | filename)")
     ap.add_argument("--camera-path-filename", default="camera_path.json",
                     help="viewer camera-path export (with --traj filename)")
+    ap.add_argument("--video", default=None,
+                    help="also assemble frames into this video/gif "
+                         "(mp4 needs an ffmpeg backend; gif always works)")
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -111,6 +114,15 @@ def main(argv=None) -> int:
         Image.fromarray(img).save(out_dir / f"frame_{i:05d}.png")
         print(f"frame {i + 1}/{num}", end="\r")
     print(f"\nwrote {num} frames to {out_dir}")
+    if args.video:
+        try:
+            import imageio
+            frames = [imageio.imread(out_dir / f"frame_{i:05d}.png")
+                      for i in range(num)]
+            imageio.mimsave(args.video, frames, fps=24)
+            print(f"wrote {args.video}")
+        except Exception as e:   # mp4 without an ffmpeg backend etc.
+            print(f"video assembly failed ({e}); frames are in {out_dir}")
     return 0
 
 
