@@ -26,6 +26,10 @@ class MethodConfig:
     datamanager: DataManagerConfig
     optimizers: Dict[str, OptimizerGroupConfig]
     vis: str = "viewer"
+    """Visualizer selection (reference ``experiment_config.py:72-89``):
+    any of "viewer", "tensorboard", "wandb", "json" (+-combinable)."""
+    websocket_port: int = 7007
+    http_port: int = 7008
 
 
 def _no_distill(data: Path = Path("/data/mipnerf360/room/")) -> MethodConfig:

@@ -328,6 +328,7 @@ class Trainer:
         # is not a multiple of steps_per_save)
         if last_saved != step:
             self.save_checkpoint(step)
+        writer.finalize()
         return self.state
 
     # --- checkpointing (trainer.py:357-406) -------------------------------

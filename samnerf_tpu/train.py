@@ -42,8 +42,73 @@ def train_loop(config: MethodConfig, num_devices=None):
     model_cfg = dataclasses.replace(config.model, num_images=num_images)
     trainer = Trainer(model_cfg, config.trainer, config.optimizers, dm,
                       num_devices=num_devices)
-    trainer.train()
+    step_callback = _setup_vis(config, trainer)
+    trainer.train(step_callback=step_callback)
     return trainer
+
+
+def _setup_vis(config: MethodConfig, trainer):
+    """``--vis`` consumption (reference ``trainer.py:154-186``): event
+    writers for the wandb/tensorboard/json tokens, a live attached
+    viewer for "viewer".  Returns the per-step viewer callback (or
+    None)."""
+    from samnerf_tpu.utils import writer
+
+    vis = (getattr(config, "vis", "") or "").lower()
+    out = Path(config.trainer.output_dir)
+    for kind in ("tensorboard", "wandb", "json"):
+        if kind in vis:
+            writer.setup_event_writer(kind, out)
+    if "viewer" not in vis:
+        return None
+    try:
+        return _launch_viewer(trainer, config)
+    except Exception as e:          # headless / port busy / missing deps
+        print(f"viewer unavailable ({e}); training continues headless")
+        return None
+
+
+def _launch_viewer(trainer, config: MethodConfig):
+    """Attach the interactive viewer to a live training run (reference
+    ``trainer.py:154-166`` ViewerState launch + websocket server)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
+    from samnerf_tpu.perception.sam.build_sam import build_sam
+    from samnerf_tpu.perception.sam.predictor import SamPredictor
+    from samnerf_tpu.viewer.server import serve_client
+    from samnerf_tpu.viewer.viewer_state import ViewerState
+
+    ckpt = os.environ.get("SAM_CHECKPOINT")
+    if not (ckpt and Path(ckpt).exists()):
+        ckpt = next((c for c in ("checkpoints/sam_vit_h_4b8939.pth",
+                                 "checkpoints/sam_vit_b_01ec64.pth")
+                     if Path(c).exists()), None)
+    model_type = "vit_h" if (ckpt and "vit_h" in ckpt) else "vit_b"
+    sam, sam_params = build_sam(model_type, checkpoint=ckpt)
+    if sam_params is None:
+        print("viewer: no SAM checkpoint found ($SAM_CHECKPOINT or "
+              "./checkpoints/) — mask decode uses random weights")
+        sam_params = jax.jit(lambda r: sam.init(
+            r, jnp.zeros((1, 16, 16, 3)),
+            points=(jnp.zeros((1, 1, 2)),
+                    jnp.zeros((1, 1), jnp.int32))))(jax.random.PRNGKey(1))
+    predictor = SamPredictor(sam, sam_params)
+    renderer = SamNerfRenderer(trainer.model, sam_predictor=predictor)
+    cams = jax.tree.map(jnp.asarray, trainer.datamanager.cameras)
+    state = ViewerState(renderer,
+                        params_fn=lambda: trainer.state.params,
+                        cameras=cams, port=config.websocket_port,
+                        save_checkpoint_fn=trainer.save_checkpoint)
+    state.start()
+    state.init_scene()
+    serve_client(http_port=config.http_port, ws_port=config.websocket_port)
+    print(f"viewer: http://localhost:{config.http_port}/"
+          f"?port={config.websocket_port}")
+    return state.step_callback
 
 
 def save_config(config: MethodConfig):

@@ -152,6 +152,14 @@ def setup_event_writer(kind: str, log_dir: Path):
         _WRITERS.append(JsonWriter(Path(log_dir) / "metrics.json"))
 
 
+def finalize():
+    """Flush writers that buffer to disk (end of training; reference
+    flushes per step via its event loop)."""
+    for w in _WRITERS:
+        if hasattr(w, "flush"):
+            w.flush()
+
+
 def write_out_storage():
     """Flush queued events to all writers (``writer.py:162-172``)."""
     global _EVENTS
