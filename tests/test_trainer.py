@@ -114,3 +114,35 @@ def test_resume_from_load_dir(trainer, tmp_path):
         max_num_iterations=expect + 1)
     tr2 = Trainer(tr.model_cfg, cfg2, GROUPS, tr.datamanager)
     assert int(tr2.state.step) == expect
+
+
+def test_vis_setup_writers_and_finalize(tmp_path, monkeypatch):
+    """--vis wiring: json writer registered from the config, rows flushed
+    by writer.finalize at end of training (train.py _setup_vis)."""
+    import samnerf_tpu.train as train_mod
+    from samnerf_tpu.configs.methods import method_configs
+    from samnerf_tpu.utils import writer
+
+    monkeypatch.setattr(writer, "_WRITERS", [])
+    config = method_configs()["samnerf_distill"]
+    config.vis = "json"
+    config.trainer.output_dir = tmp_path
+
+    class FakeTrainer:
+        pass
+
+    cb = train_mod._setup_vis(config, FakeTrainer())
+    assert cb is None                       # no viewer requested
+    assert len(writer._WRITERS) == 1
+    writer.put_scalar("x", 1.5, 0)
+    writer.write_out_storage()
+    writer.finalize()
+    import json
+    rows = json.loads((tmp_path / "metrics.json").read_text())
+    assert rows == [{"name": "x", "value": 1.5, "step": 0}]
+
+    # viewer failure degrades to headless (no exception escapes)
+    monkeypatch.setattr(train_mod, "_launch_viewer",
+                        lambda t, c: (_ for _ in ()).throw(OSError("no port")))
+    config.vis = "viewer"
+    assert train_mod._setup_vis(config, FakeTrainer()) is None
