@@ -132,15 +132,119 @@ def save_config(config: MethodConfig):
     (out / "config.json").write_text(json.dumps(enc(config), indent=2))
 
 
+def train_zoo(name: str, argv) -> int:
+    """Train a zoo (non-samnerf) method end-to-end, like the reference's
+    ``ns-train <method>`` over its full registry
+    (``nerfstudio/configs/method_configs.py``): rgb-only loop with
+    per-method extra channels (depth / semantics), final checkpoint +
+    eval PSNR."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from samnerf_tpu.configs.zoo import make_zoo_train_step, zoo_methods
+    from samnerf_tpu.core.cameras import generate_rays
+    from samnerf_tpu.data.datamanager import (DataManager, DataManagerConfig)
+    from samnerf_tpu.data.dataparser import DataparserConfig
+    from samnerf_tpu.utils.jax_setup import setup_jax
+    from samnerf_tpu.utils.metrics import psnr
+
+    ap = argparse.ArgumentParser(prog=f"samnerf_tpu.train {name}")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--max-num-iterations", type=int, default=30000)
+    ap.add_argument("--rays-per-batch", type=int, default=4096)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--output-dir", default="outputs")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--log-every", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    setup_jax()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    method = zoo_methods()[name]
+    model, cfg = method.build()
+
+    data = Path(args.data)
+    split = (not (data / "transforms.json").exists()
+             and (data / "transforms_train.json").exists())
+    dm_cfg = DataManagerConfig(
+        dataparser=DataparserConfig(data=data, train_val_json_split=split),
+        train_num_rays_per_batch=args.rays_per_batch)
+    if name == "depth-nerfacto":
+        from samnerf_tpu.data.datamanagers_extra import DepthDataManager
+        dm = DepthDataManager(dm_cfg, seed=args.seed)
+    elif name == "semantic-nerfw":
+        from samnerf_tpu.data.datamanagers_extra import SemanticDataManager
+        dm = SemanticDataManager(dm_cfg, seed=args.seed)
+    else:
+        dm = DataManager(dm_cfg, seed=args.seed)
+    cameras = jax.tree.map(jnp.asarray, dm.cameras)
+
+    batch0 = {k: jnp.asarray(v) for k, v in dm.next_train(0).items()}
+    bundle0 = generate_rays(cameras, batch0["indices"][:, 0],
+                            batch0["indices"][:, 1:].astype(jnp.float32))
+    params = jax.jit(lambda r, b: model.init(r, b, rng=r, train=True))(
+        jax.random.PRNGKey(args.seed), bundle0)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(make_zoo_train_step(method, model, cfg, opt))
+
+    t0 = time.time()
+    for step in range(1, args.max_num_iterations + 1):
+        batch = {k: jnp.asarray(v) for k, v in dm.next_train(step).items()}
+        params, opt_state, metrics = step_fn(
+            params, opt_state, cameras, batch,
+            jax.random.PRNGKey(args.seed + step))
+        if step % args.log_every == 0 or step == args.max_num_iterations:
+            print(f"step {step}: loss={float(metrics['total_loss']):.5f} "
+                  f"({(time.time() - t0):.0f}s)", flush=True)
+
+    out = (Path(args.output_dir) / Path(args.data).name / name /
+           time.strftime("%Y-%m-%d_%H%M%S"))
+    out.mkdir(parents=True, exist_ok=True)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((out / "params").absolute(), params)
+    ckptr.wait_until_finished()
+
+    # eval PSNR on one held-out view, chunked generic render
+    ec = jax.tree.map(jnp.asarray, dm.eval_cameras)
+    h, w = ec.height, ec.width
+    from samnerf_tpu.engine.eval_render import _chunked_coords
+    coords = jnp.asarray(_chunked_coords(h, w, 4096))
+
+    @jax.jit
+    def render(params):
+        def body(c):
+            rb = generate_rays(ec, jnp.zeros((c.shape[0],), jnp.int32), c)
+            return model.apply(params, rb, train=False)["rgb"]
+        return jax.lax.map(body, coords)
+
+    rgb = np.asarray(render(params)).reshape(-1, 3)[:h * w].reshape(h, w, 3)
+    gt = dm.eval_images[0].astype(np.float32) / 255.0
+    p = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
+    print(f"eval view 0 PSNR: {p:.2f}; saved {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     registry = method_configs()
     if not argv or argv[0] in ("-h", "--help"):
+        from samnerf_tpu.configs.zoo import zoo_methods
         print(__doc__)
-        print("methods:", ", ".join(registry))
+        print("methods:", ", ".join(registry),
+              "| zoo:", ", ".join(zoo_methods()))
         return 0
     method = argv.pop(0)
     if method not in registry:
+        from samnerf_tpu.configs.zoo import zoo_methods
+        if method in zoo_methods():
+            return train_zoo(method, argv)
         print(f"unknown method {method!r}; available: {', '.join(registry)}")
         return 2
     config = registry[method]
