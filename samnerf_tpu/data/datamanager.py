@@ -89,14 +89,55 @@ def _load_image(path: Path, downscale: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def _detect_parser(dp_config):
+    """Route by on-disk format (the reference CLI's dataparser subcommand,
+    ``base_datamanager.py:76-94``, made automatic): blender synthetic
+    (``transforms_train.json`` with ``camera_angle_x``) and instant-ngp
+    (``transforms.json`` with ``aabb_scale``) are parsed by their family
+    parsers; everything else by the nerfstudio parser."""
+    import json as _json
+
+    data = Path(dp_config.data)
+    tt = data / "transforms_train.json"
+    if tt.exists():
+        try:
+            meta = _json.loads(tt.read_text())
+        except Exception:
+            meta = {}
+        if "camera_angle_x" in meta and "fl_x" not in meta:
+            from samnerf_tpu.data.dataparsers_extra import (
+                BlenderDataparserConfig, parse_blender_data)
+
+            def parse(cfg, split):
+                return parse_blender_data(
+                    BlenderDataparserConfig(data=cfg.data), split=split)
+            return parse
+    tj = data / "transforms.json"
+    if tj.exists():
+        try:
+            meta = _json.loads(tj.read_text())
+        except Exception:
+            meta = {}
+        if "aabb_scale" in meta and "fl_x" not in meta:
+            from samnerf_tpu.data.dataparsers_extra import (
+                InstantNGPDataparserConfig, parse_instant_ngp_data)
+
+            def parse(cfg, split):
+                return parse_instant_ngp_data(
+                    InstantNGPDataparserConfig(data=cfg.data), split=split)
+            return parse
+    return parse_nerfstudio_data
+
+
 class DataManager:
     def __init__(self, config: DataManagerConfig, seed: int = 0,
                  load_images: bool = True):
         self.config = config
         self.rng = np.random.default_rng(seed)
-        self.train_outputs: DataparserOutputs = parse_nerfstudio_data(
+        parse = _detect_parser(config.dataparser)
+        self.train_outputs: DataparserOutputs = parse(
             config.dataparser, split="train")
-        self.eval_outputs: DataparserOutputs = parse_nerfstudio_data(
+        self.eval_outputs: DataparserOutputs = parse(
             config.dataparser, split="test")
         self.cameras = self.train_outputs.cameras
         self.eval_cameras = self.eval_outputs.cameras

@@ -139,3 +139,37 @@ def test_equirectangular_pixel_sampler():
     polar = ((rows < 10) | (rows >= 90)).mean()
     equator = ((rows >= 45) & (rows < 55)).mean()
     assert equator > polar
+
+
+def test_datamanager_auto_routes_blender_format(tmp_path):
+    """DataManager detects blender-synthetic layout (camera_angle_x, no
+    fl_x) and routes to the blender parser — the reference CLI's
+    dataparser subcommand made automatic."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
+    from samnerf_tpu.data.dataparser import DataparserConfig
+
+    d = tmp_path / "blender"
+    (d / "images").mkdir(parents=True)
+    for split, n in (("train", 3), ("test", 2)):
+        frames = []
+        for i in range(n):
+            name = f"images/{split}_{i}"
+            Image.fromarray(np.full((16, 16, 3), 100, np.uint8)).save(
+                d / (name + ".png"))
+            c2w = np.eye(4)
+            c2w[2, 3] = 2.0
+            frames.append({"file_path": "./" + name,
+                           "transform_matrix": c2w.tolist()})
+        (d / f"transforms_{split}.json").write_text(json.dumps(
+            {"camera_angle_x": 0.8, "frames": frames}))
+    dm = DataManager(DataManagerConfig(dataparser=DataparserConfig(data=d)))
+    assert dm.num_train_images == 3
+    assert dm.eval_cameras.num_cameras == 2
+    # focal from camera_angle_x: 0.5*16/tan(0.4)
+    assert abs(float(dm.cameras.fx[0, 0])
+               - 0.5 * 16 / np.tan(0.4)) < 1e-3
