@@ -69,6 +69,25 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
             print(f"  train view {i}: {np.isnan(rgb).sum()} NaNs!")
         tp.append(float(psnr(jnp.asarray(rgb), jnp.asarray(gt))))
     m["train_psnr"] = float(np.mean(tp))
+
+    # distillation quality: MSE between the RENDERED SAM embedding grid
+    # (the serve-time replacement for the ViT encoder) and the ground-
+    # truth feature map the field was distilled from, view 0.  Rendered
+    # grid is avg-pooled to the stored map's resolution.
+    out = renderer.render_image(trainer.state.params, cams, 0,
+                                features=("sam",))
+    rend = np.asarray(out["sam"])                 # [fh, fw, 256]
+    gt_f = np.asarray(dm.sam_loader.features[0])  # [gh, gw, 256]
+    kh = rend.shape[0] // gt_f.shape[0]
+    kw = rend.shape[1] // gt_f.shape[1]
+    if kh >= 1 and kw >= 1:
+        pooled = rend[:gt_f.shape[0] * kh, :gt_f.shape[1] * kw] \
+            .reshape(gt_f.shape[0], kh, gt_f.shape[1], kw, -1).mean((1, 3))
+        m["sam_feature_mse"] = float(np.mean((pooled - gt_f) ** 2))
+        m["sam_feature_cos"] = float(np.mean(
+            np.sum(pooled * gt_f, -1)
+            / np.maximum(np.linalg.norm(pooled, axis=-1)
+                         * np.linalg.norm(gt_f, axis=-1), 1e-9)))
     return m
 
 
@@ -117,13 +136,15 @@ def main():
         "(`nerfacto.py:89,105-106`, `sam_field.py:97-110`).",
         "",
         "| field tables | proposal tables | test PSNR | train PSNR "
-        "| SSIM | train s | rays/s |",
-        "|---|---|---|---|---|---|---|",
+        "| SSIM | SAM-feat MSE | SAM-feat cos | train s | rays/s |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for log2, plog2, m in rows:
         lines.append(f"| 2^{log2} | 2^{plog2} | {m['psnr']:.2f} | "
-                     f"{m['train_psnr']:.2f} | "
-                     f"{m['ssim']:.4f} | {m['train_s']} | {m['rays_per_s']} |")
+                     f"{m['train_psnr']:.2f} | {m['ssim']:.4f} | "
+                     f"{m.get('sam_feature_mse', float('nan')):.4f} | "
+                     f"{m.get('sam_feature_cos', float('nan')):.4f} | "
+                     f"{m['train_s']} | {m['rays_per_s']} |")
     lines += ["", f"(generated by scripts/quality_capacity.py, "
               f"steps={args.steps})"]
     out.write_text("\n".join(lines) + "\n")
