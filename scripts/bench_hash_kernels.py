@@ -5,7 +5,7 @@ time, so each measurement runs K chained encodes inside ONE jit (the
 next call's positions depend on the previous output, defeating both
 caching and overlap) and fetches a single scalar.
 
-Run: python scripts/bench_hash_v3.py
+Run: python scripts/bench_hash_kernels.py
 """
 import functools
 import sys
