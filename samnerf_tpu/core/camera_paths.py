@@ -103,6 +103,8 @@ def get_interpolated_camera_path(cameras: Cameras, steps: int) -> Cameras:
     (``camera_paths.py:30-45``): ``steps`` interpolated poses per
     transition; intrinsics linearly interpolated."""
     poses = np.asarray(cameras.camera_to_worlds)
+    if poses.shape[0] < 2:
+        return cameras            # nothing to interpolate between
     fx = np.asarray(cameras.fx)[:, 0]
     fy = np.asarray(cameras.fy)[:, 0]
     all_poses, all_fx, all_fy = [], [], []

@@ -89,6 +89,16 @@ def _load_image(path: Path, downscale: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def _family_config(cls, dp_config):
+    """Build a family dataparser config carrying over every field the
+    user's DataparserConfig shares by name (data, scale factors, ...) so
+    auto-routing does not silently drop overrides."""
+    import dataclasses as _dc
+    kwargs = {f.name: getattr(dp_config, f.name)
+              for f in _dc.fields(cls) if hasattr(dp_config, f.name)}
+    return cls(**kwargs)
+
+
 def _detect_parser(dp_config):
     """Route by on-disk format (the reference CLI's dataparser subcommand,
     ``base_datamanager.py:76-94``, made automatic): blender synthetic
@@ -110,7 +120,8 @@ def _detect_parser(dp_config):
 
             def parse(cfg, split):
                 return parse_blender_data(
-                    BlenderDataparserConfig(data=cfg.data), split=split)
+                    _family_config(BlenderDataparserConfig, cfg),
+                    split=split)
             return parse
     tj = data / "transforms.json"
     if tj.exists():
@@ -124,7 +135,8 @@ def _detect_parser(dp_config):
 
             def parse(cfg, split):
                 return parse_instant_ngp_data(
-                    InstantNGPDataparserConfig(data=cfg.data), split=split)
+                    _family_config(InstantNGPDataparserConfig, cfg),
+                    split=split)
             return parse
     return parse_nerfstudio_data
 

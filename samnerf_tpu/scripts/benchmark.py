@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         # config in place, so reusing one object would compound
         # output_dir (and any other override) across scenes
         config = apply_overrides(method_configs()[method], rest)
-        if "--vis" not in rest:
+        if not any(a == "--vis" or a.startswith("--vis=") for a in rest):
             config.vis = "json"   # batch runs: no live viewer
         config.datamanager.dataparser.data = scene
         config.trainer.output_dir = (Path(config.trainer.output_dir)

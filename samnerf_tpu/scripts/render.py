@@ -84,7 +84,8 @@ def main(argv=None) -> int:
                                  trainer.datamanager.eval_cameras)
         steps = max(args.num_frames // max(eval_cams.num_cameras - 1, 1), 1)
         path_cams = cp.get_interpolated_camera_path(eval_cams, steps)
-        w, h = args.width, args.height
+        # dataset intrinsics belong to the dataset resolution
+        w, h = path_cams.width, path_cams.height
     elif args.traj == "spiral":
         import jax
         cams0 = jax.tree.map(jnp.asarray, trainer.datamanager.cameras)
@@ -92,7 +93,7 @@ def main(argv=None) -> int:
                              cams0)
         path_cams = cp.get_spiral_path(start, steps=args.num_frames,
                                        radius=0.1)
-        w, h = args.width, args.height
+        w, h = path_cams.width, path_cams.height
     else:
         c2ws = np.stack([orbit_c2w(2 * np.pi * i / args.num_frames,
                                    args.orbit_radius)

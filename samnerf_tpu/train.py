@@ -54,6 +54,7 @@ def _setup_vis(config: MethodConfig, trainer):
     None)."""
     from samnerf_tpu.utils import writer
 
+    writer.reset()        # a prior run's writers must not leak into this one
     vis = (getattr(config, "vis", "") or "").lower()
     out = Path(config.trainer.output_dir)
     for kind in ("tensorboard", "wandb", "json"):

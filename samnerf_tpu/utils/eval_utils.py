@@ -46,8 +46,10 @@ def _restore_json(obj, raw):
     if isinstance(cur, dict):
         if not isinstance(raw, dict):
             return cur
-        return {k: (_restore_json(cur[k], v) if k in cur else v)
-                for k, v in raw.items()}
+        out = dict(cur)   # keep default keys absent from the saved file
+        for k, v in raw.items():
+            out[k] = _restore_json(cur[k], v) if k in cur else v
+        return out
     if cur is None or isinstance(cur, (bool, int, float, str)):
         return raw
     return cur   # non-JSON leaf (dtype, callable): keep the default

@@ -160,6 +160,13 @@ def finalize():
             w.flush()
 
 
+def reset():
+    """Flush and drop all registered writers (a new training run in the
+    same process must not write into the previous run's sinks)."""
+    finalize()
+    _WRITERS.clear()
+
+
 def write_out_storage():
     """Flush queued events to all writers (``writer.py:162-172``)."""
     global _EVENTS
