@@ -55,3 +55,35 @@ def test_param_groups(pipeline):
     pipe, params = pipeline
     groups = pipe.get_param_groups(params)
     assert "fields" in groups and "proposal_networks" in groups
+
+
+def test_restore_json_overlays_saved_config():
+    """eval_setup's config restore: saved values overlay the preset;
+    default dict keys absent from the file are kept; non-JSON leaves
+    keep defaults (utils/eval_utils._restore_json)."""
+    import dataclasses
+    from pathlib import Path
+
+    from samnerf_tpu.utils.eval_utils import _restore_json
+
+    @dataclasses.dataclass
+    class Inner:
+        lr: float = 1e-2
+
+    @dataclasses.dataclass
+    class Cfg:
+        steps: int = 10
+        data: Path = Path("/a")
+        dims: tuple = (1, 2)
+        groups: dict = dataclasses.field(
+            default_factory=lambda: {"a": Inner(), "b": Inner()})
+        dtype: type = float            # non-JSON leaf
+
+    raw = {"steps": 99, "data": "/b", "dims": [3, 4],
+           "groups": {"a": {"lr": 0.5}}, "dtype": "<class 'float'>"}
+    out = _restore_json(Cfg(), raw)
+    assert out.steps == 99 and out.data == Path("/b")
+    assert out.dims == (3, 4)
+    assert out.groups["a"].lr == 0.5
+    assert isinstance(out.groups["b"], Inner)      # default key kept
+    assert out.dtype is float                      # non-JSON leaf kept
