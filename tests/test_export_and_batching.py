@@ -139,3 +139,23 @@ def test_benchmark_driver_fresh_config_per_scene(tmp_path, monkeypatch):
     import json
     summary = json.loads(out.read_text())
     assert summary["mean_psnr"] == 30.0 and set(summary["scenes"]) == {"a", "b"}
+
+
+def test_zoo_cli_dispatch(monkeypatch):
+    """train.main routes zoo method names to train_zoo and keeps
+    rejecting unknown names."""
+    import samnerf_tpu.train as train_mod
+
+    called = {}
+
+    def fake_train_zoo(name, argv):
+        called["name"], called["argv"] = name, list(argv)
+        return 0
+
+    monkeypatch.setattr(train_mod, "train_zoo", fake_train_zoo)
+    rc = train_mod.main(["vanilla-nerf", "--data", "/x",
+                         "--max-num-iterations", "3"])
+    assert rc == 0
+    assert called["name"] == "vanilla-nerf"
+    assert called["argv"] == ["--data", "/x", "--max-num-iterations", "3"]
+    assert train_mod.main(["no-such-method"]) == 2
