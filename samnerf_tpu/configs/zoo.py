@@ -27,6 +27,11 @@ class ZooMethod:
     loss_fn: Callable[..., Dict]      # (outputs, batch) -> losses
     loss_needs_config: bool = False
     loss_needs_params: bool = False
+    use_occupancy: bool = False
+    """Maintain an occupancy grid during training and pass it to the
+    model (the nerfacc ``OccupancyGrid`` the reference's instant-ngp and
+    nerfplayer-ngp variants train with, ``models/instant_ngp.py:117-124``,
+    ``nerfplayer_ngp.py``)."""
 
 
 def _vanilla():
@@ -80,7 +85,8 @@ def zoo_methods() -> Dict[str, ZooMethod]:
                                   vanilla_nerf.get_loss_dict),
         "mipnerf": ZooMethod("mipnerf", _mipnerf, mipnerf.get_loss_dict),
         "instant-ngp": ZooMethod("instant-ngp", _instant_ngp,
-                                 instant_ngp.get_loss_dict),
+                                 instant_ngp.get_loss_dict,
+                                 use_occupancy=True),
         "tensorf": ZooMethod("tensorf", _tensorf, tensorf.get_loss_dict,
                              loss_needs_config=True, loss_needs_params=True),
         "depth-nerfacto": ZooMethod("depth-nerfacto", _depth_nerfacto,
@@ -92,7 +98,8 @@ def zoo_methods() -> Dict[str, ZooMethod]:
         "nerfplayer-nerfacto": ZooMethod("nerfplayer-nerfacto", _nerfplayer,
                                          nerfplayer.get_loss_dict),
         "nerfplayer-ngp": ZooMethod("nerfplayer-ngp", _nerfplayer,
-                                    nerfplayer.get_loss_dict),
+                                    nerfplayer.get_loss_dict,
+                                    use_occupancy=True),
     }
 
 
@@ -100,12 +107,14 @@ def make_zoo_train_step(method: ZooMethod, model, config,
                         optimizer: optax.GradientTransformation):
     """One jitted optax step over (params, opt_state, cameras, batch)."""
 
-    def step(params, opt_state, cameras: Cameras, batch, rng):
+    def step(params, opt_state, cameras: Cameras, batch, rng,
+             occupancy=None):
         bundle = generate_rays(cameras, batch["indices"][:, 0],
                                batch["indices"][:, 1:].astype(jnp.float32))
+        kw = {"occupancy": occupancy} if method.use_occupancy else {}
 
         def loss_fn(p):
-            out = model.apply(p, bundle, rng=rng, train=True)
+            out = model.apply(p, bundle, rng=rng, train=True, **kw)
             if method.loss_needs_config and method.loss_needs_params:
                 losses = method.loss_fn(config, p, out, batch)
             elif method.loss_needs_config:

@@ -39,6 +39,14 @@ def get_feature_size(h: int, w: int, largesize: int = 64) -> Tuple[int, int]:
     return largesize, largesize
 
 
+PIXEL_BLOCK = 32
+"""Side of the 2D pixel blocks the serve ray stream is tiled into: 32x32
+pixels = 1024 consecutive rays = one ``fields.nerfacto_field.SAMPLE_BLOCK``
+— so hash-kernel tiles see compact image regions, not full-width strips,
+and the morton slab skip actually bites.  All reorders are static
+reshape/transposes (never gathers, which are scalar-core-bound on TPU)."""
+
+
 def _chunked_coords(h: int, w: int, chunk: int) -> np.ndarray:
     """Row-major full-image (row, col) coords, padded and chunked:
     [n_chunks, chunk, 2] float32 (static; becomes a jit constant)."""
@@ -50,19 +58,70 @@ def _chunked_coords(h: int, w: int, chunk: int) -> np.ndarray:
     return coords.reshape(-1, chunk, 2)
 
 
+def _blocked_coords(h: int, w: int, chunk: int, bs: int = PIXEL_BLOCK):
+    """Full-image coords in 2D-block order + the inverse reshape.
+
+    Returns (coords [n_chunks, chunk, 2], unflatten) where
+    ``unflatten(flat [>=h*w, C]) -> [h, w, C]`` undoes the block order
+    with reshapes/transposes only.  Falls back to row-major when the
+    resolution does not tile evenly."""
+    if h % bs or w % bs or chunk % (bs * bs):
+        coords = _chunked_coords(h, w, chunk)
+
+        def unflatten(flat):
+            return flat[:h * w].reshape(h, w, flat.shape[-1])
+
+        return coords, unflatten
+    bh, bw = h // bs, w // bs
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    grid = np.stack([yy, xx], -1).astype(np.float32)
+    grid = grid.reshape(bh, bs, bw, bs, 2).transpose(0, 2, 1, 3, 4) \
+        .reshape(-1, 2)
+    pad = (-grid.shape[0]) % chunk
+    if pad:
+        grid = np.concatenate([grid, np.tile(grid[-1:], (pad, 1))])
+
+    def unflatten(flat):
+        c = flat.shape[-1]
+        x = flat[:h * w].reshape(bh, bw, bs, bs, c)
+        return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(h, w, c)
+
+    return grid.reshape(-1, chunk, 2), unflatten
+
+
 def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
-                         chunk: int) -> np.ndarray:
-    """Patch-major linspace ray grid (``sam_model.py:369-379``):
-    [n_chunks, chunk, 2]."""
+                         chunk: int, bs: int = PIXEL_BLOCK):
+    """Patch-major linspace ray grid (``sam_model.py:369-379``) in
+    2D-patch-block order + the patch-level inverse reshape.
+
+    Returns (coords [n_chunks, chunk, 2], unflatten) where
+    ``unflatten(patch_feats [>=fh*fw, C]) -> [fh, fw, C]``.  Ray order:
+    patch-block (bs/ps x bs/ps patches) -> patch -> pixel-in-patch, so
+    the conv head still sees contiguous ps^2 pixel groups while kernel
+    tiles see compact image regions."""
     hi = np.linspace(0, h - 1, fh * ps)
     wi = np.linspace(0, w - 1, fw * ps)
     hh, ww = np.meshgrid(hi, wi, indexing="ij")
     grid = np.stack([hh, ww], -1).reshape(fh, ps, fw, ps, 2)
-    grid = grid.transpose(0, 2, 1, 3, 4).reshape(-1, 2).astype(np.float32)
+    grid = grid.transpose(0, 2, 1, 3, 4)       # [fh, fw, ps, ps, 2]
+    pb = max(bs // ps, 1)
+    if fh % pb == 0 and fw % pb == 0 and pb > 1:
+        gh, gw = fh // pb, fw // pb
+        grid = grid.reshape(gh, pb, gw, pb, ps, ps, 2) \
+            .transpose(0, 2, 1, 3, 4, 5, 6)
+
+        def unflatten(flat):
+            c = flat.shape[-1]
+            x = flat[:fh * fw].reshape(gh, gw, pb, pb, c)
+            return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(fh, fw, c)
+    else:
+        def unflatten(flat):
+            return flat[:fh * fw].reshape(fh, fw, flat.shape[-1])
+    grid = grid.reshape(-1, 2).astype(np.float32)
     pad = (-grid.shape[0]) % chunk
     if pad:
         grid = np.concatenate([grid, np.tile(grid[-1:], (pad, 1))])
-    return grid.reshape(-1, chunk, 2)
+    return grid.reshape(-1, chunk, 2), unflatten
 
 
 class ImageRenderer:
@@ -75,18 +134,19 @@ class ImageRenderer:
         self._frame_fns = {}
 
     def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...],
-                        use_crop: bool = False):
+                        use_crop: bool = False, use_occ: bool = False):
         cfg = self.cfg
         chunk = self.chunk
-        rgb_coords = jnp.asarray(_chunked_coords(h, w, chunk))
-        n_pix = h * w
+        rgb_np, rgb_unflatten = _blocked_coords(h, w, chunk)
+        rgb_coords = jnp.asarray(rgb_np)
 
         sam_coords = None
-        fh = fw = None
+        sam_unflatten = None
         if "sam" in features and cfg.distill_sam:
             fh, fw = get_feature_size(h, w)
-            sam_coords = jnp.asarray(
-                _feature_grid_coords(h, w, fh, fw, cfg.patch_size, chunk))
+            sam_np, sam_unflatten = _feature_grid_coords(
+                h, w, fh, fw, cfg.patch_size, chunk)
+            sam_coords = jnp.asarray(sam_np)
         clipseg_coords = None
         if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
             hi = np.linspace(0, h - 1, 32)
@@ -95,7 +155,8 @@ class ImageRenderer:
             clipseg_coords = jnp.asarray(
                 np.stack([hh, ww], -1).reshape(1, 1024, 2).astype(np.float32))
 
-        def frame(params, cameras, cam_idx, crop_aabb=None, crop_bg=None):
+        def frame(params, cameras, cam_idx, crop_aabb=None, crop_bg=None,
+                  occ=None):
             def run(coords, get_features):
                 def body(c):
                     # idx vector sized to this grid's chunk width (the
@@ -106,77 +167,121 @@ class ImageRenderer:
                         aabb_box=crop_aabb)
                     return self.model.apply(params, rb, train=False,
                                             get_features=get_features,
-                                            bg_color=crop_bg)
+                                            bg_color=crop_bg, occupancy=occ)
                 return jax.lax.map(body, coords)
 
             out = run(rgb_coords, ())
             outputs = {
-                "rgb": out["rgb"].reshape(-1, 3)[:n_pix].reshape(h, w, 3),
-                "depth": out["depth"].reshape(-1, 1)[:n_pix].reshape(h, w, 1),
-                "accumulation": out["accumulation"].reshape(-1, 1)[:n_pix]
-                .reshape(h, w, 1),
+                "rgb": rgb_unflatten(out["rgb"].reshape(-1, 3)),
+                "depth": rgb_unflatten(out["depth"].reshape(-1, 1)),
+                "accumulation": rgb_unflatten(
+                    out["accumulation"].reshape(-1, 1)),
             }
             for i in range(cfg.num_proposal_iterations):
                 k = f"prop_depth_{i}"
-                outputs[k] = out[k].reshape(-1, 1)[:n_pix].reshape(h, w, 1)
+                outputs[k] = rgb_unflatten(out[k].reshape(-1, 1))
             if sam_coords is not None:
                 sam = run(sam_coords, ("sam",))["sam"]
-                outputs["sam"] = sam.reshape(-1, sam.shape[-1])[:fh * fw] \
-                    .reshape(fh, fw, -1)
+                outputs["sam"] = sam_unflatten(
+                    sam.reshape(-1, sam.shape[-1]))
             if clipseg_coords is not None:
                 cs = run(clipseg_coords, ("clipseg",))["clipseg"]
                 outputs["clipseg"] = cs.reshape(32, 32, -1)
             return outputs
 
-        if use_crop:
+        # one jitted signature per (crop, occ) combination so untraced
+        # Nones never appear as jit operands
+        if use_crop and use_occ:
             return jax.jit(frame)
+        if use_crop:
+            return jax.jit(lambda p, c, i, a, b: frame(p, c, i, a, b))
+        if use_occ:
+            return jax.jit(lambda p, c, i, occ: frame(p, c, i, occ=occ))
         return jax.jit(lambda params, cameras, cam_idx: frame(params, cameras,
                                                               cam_idx))
 
     def _frame_fn(self, h: int, w: int, features: Tuple[str, ...],
-                  use_crop: bool):
-        key = (h, w, tuple(features), use_crop)
+                  use_crop: bool, use_occ: bool = False):
+        key = (h, w, tuple(features), use_crop, use_occ)
         if key not in self._frame_fns:
             self._frame_fns[key] = self._build_frame_fn(h, w, tuple(features),
-                                                        use_crop)
+                                                        use_crop, use_occ)
         return self._frame_fns[key]
 
     def render_image(self, params, cameras: Cameras, camera_index: int,
                      width: Optional[int] = None, height: Optional[int] = None,
                      features: Tuple[str, ...] = (),
-                     crop_aabb=None, crop_bg=None) -> Dict[str, np.ndarray]:
+                     crop_aabb=None, crop_bg=None,
+                     occ=None) -> Dict[str, np.ndarray]:
         """Render one camera; returns host numpy arrays.
 
         crop_aabb: optional [2, 3] viewer crop box (traced — dragging the
-        crop sliders never recompiles); crop_bg: optional [3] rgb in [0,1].
+        crop sliders never recompiles); crop_bg: optional [3] rgb in [0,1];
+        occ: optional baked ``ServeOccupancy`` culling grid (traced).
         """
         h = height or cameras.height
         w = width or cameras.width
-        fn = self._frame_fn(h, w, tuple(features), crop_aabb is not None)
-        ci = jnp.asarray(camera_index, jnp.int32)
-        if crop_aabb is not None:
-            bg = (jnp.zeros(3) if crop_bg is None
-                  else jnp.asarray(crop_bg, jnp.float32))
-            out = fn(params, cameras, ci, jnp.asarray(crop_aabb, jnp.float32),
-                     bg)
-        else:
-            out = fn(params, cameras, ci)
+        out = self.render_image_device(params, cameras, camera_index, w, h,
+                                       features, crop_aabb, crop_bg, occ)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def render_image_device(self, params, cameras: Cameras, camera_index,
                             width: int, height: int,
                             features: Tuple[str, ...] = (),
-                            crop_aabb=None, crop_bg=None):
+                            crop_aabb=None, crop_bg=None, occ=None):
         """Device-resident variant (viewer keeps arrays on device)."""
         fn = self._frame_fn(height, width, tuple(features),
-                            crop_aabb is not None)
+                            crop_aabb is not None, occ is not None)
         ci = jnp.asarray(camera_index, jnp.int32)
+        args = [params, cameras, ci]
         if crop_aabb is not None:
-            bg = (jnp.zeros(3) if crop_bg is None
-                  else jnp.asarray(crop_bg, jnp.float32))
-            return fn(params, cameras, ci,
-                      jnp.asarray(crop_aabb, jnp.float32), bg)
-        return fn(params, cameras, ci)
+            args.append(jnp.asarray(crop_aabb, jnp.float32))
+            args.append(jnp.zeros(3) if crop_bg is None
+                        else jnp.asarray(crop_bg, jnp.float32))
+        if occ is not None:
+            args.append(occ)
+        return fn(*args)
+
+
+def bake_occupancy(model: SAMModel, params, res: int = 0,
+                   threshold: float = 0.01, sub: int = 2,
+                   chunk: int = 1 << 17):
+    """Bake a serve-time occupancy grid from a trained model.
+
+    The nerfacc-OccupancyGrid analogue for the samnerf serve path
+    (reference keeps proposal-only sampling at view time,
+    ``sam_model.py:358-418``; culling is a pure serving optimization):
+    evaluate the trained nerf field's density at ``sub^3`` stratified
+    points per cell of a ``res^3`` grid in contracted-unit space, take
+    the per-cell max, threshold, and pack (with a built-in one-cell
+    dilation) into a :class:`~samnerf_tpu.ops.occupancy.ServeOccupancy`
+    int8 table the fields can cull against.
+    """
+    from samnerf_tpu.ops.occupancy import (cells_from_density,
+                                           grid_cell_positions,
+                                           pack_serve_occupancy)
+
+    res = res or model.config.occ_res
+    pts = jnp.asarray(grid_cell_positions(res, sub))
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        pts = jnp.concatenate([pts, jnp.full((pad, 3), 0.5, pts.dtype)])
+    pts = pts.reshape(-1, chunk, 3)
+
+    @jax.jit
+    def dens(params, pts):
+        return jax.lax.map(
+            lambda p: model.apply(
+                params, p,
+                method=lambda m, p: m.fields.density_at_unit(p)), pts)
+
+    d = np.asarray(dens(params, pts)).reshape(-1)[:n]
+    cell_d = d.reshape(res ** 3, sub ** 3).max(axis=1).reshape(res, res, res)
+    cells = cells_from_density(jnp.asarray(cell_d), threshold)
+    occ = pack_serve_occupancy(np.asarray(cells))
+    frac = float(np.asarray(cells).mean())
+    return occ, frac
 
 
 def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
@@ -218,16 +323,17 @@ def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
                 [coords, jnp.tile(coords[-1:], (pad, 1, 1))])
         return coords
 
-    rgb_coords = _pad_to_dev(jnp.asarray(_chunked_coords(h, w, chunk)))
-    n_pix = h * w
+    rgb_np, rgb_unflatten = _blocked_coords(h, w, chunk)
+    rgb_coords = _pad_to_dev(jnp.asarray(rgb_np))
 
     sam_coords = None
+    sam_unflatten = None
     fh = fw = None
     if "sam" in features and cfg.distill_sam:
         fh, fw = get_feature_size(h, w)
-        sam_coords = _pad_to_dev(jnp.asarray(
-            _feature_grid_coords(h, w, fh, fw, cfg.patch_size,
-                                 min(chunk, 2048))))
+        sam_np, sam_unflatten = _feature_grid_coords(
+            h, w, fh, fw, cfg.patch_size, min(chunk, 2048))
+        sam_coords = _pad_to_dev(jnp.asarray(sam_np))
     clipseg_coords = None
     if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
         hi = np.linspace(0, h - 1, 32)
@@ -257,12 +363,10 @@ def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
         for k in ("rgb", "depth", "accumulation"):
             if k in out:
                 v = out[k]
-                res[k] = v.reshape(-1, v.shape[-1])[:n_pix].reshape(
-                    h, w, v.shape[-1])
+                res[k] = rgb_unflatten(v.reshape(-1, v.shape[-1]))
         if sam_coords is not None:
             s = smap(("sam",))(params, cameras, cam_idx, sam_coords)["sam"]
-            res["sam"] = s.reshape(-1, s.shape[-1])[:fh * fw].reshape(
-                fh, fw, -1)
+            res["sam"] = sam_unflatten(s.reshape(-1, s.shape[-1]))
         if clipseg_coords is not None:
             c = smap(("clipseg",))(params, cameras, cam_idx,
                                    clipseg_coords)["clipseg"]

@@ -164,9 +164,18 @@ class SamNerfRenderer:
         self.clipseg = clipseg_predictor
         self.lang_sam = lang_sam
         self.prompts: Optional[np.ndarray] = None  # [M, 3] locked 3D points
+        self.occ = None  # baked ServeOccupancy culling grid (optional)
 
     def clear_prompts(self):
         self.prompts = None
+
+    def bake_occupancy(self, params, **kw):
+        """Bake + install the serve occupancy grid from trained params
+        (``engine.eval_render.bake_occupancy``); subsequent renders cull
+        empty space.  Returns the occupied-cell fraction."""
+        from samnerf_tpu.engine.eval_render import bake_occupancy
+        self.occ, frac = bake_occupancy(self.renderer.model, params, **kw)
+        return frac
 
     def render_view(self, params, cameras: Cameras, camera_index: int,
                     intrin: np.ndarray, c2w: np.ndarray,
@@ -190,7 +199,7 @@ class SamNerfRenderer:
                                              width=width, height=height,
                                              features=feats,
                                              crop_aabb=crop_aabb,
-                                             crop_bg=crop_bg)
+                                             crop_bg=crop_bg, occ=self.occ)
         h, w = outputs["rgb"].shape[:2]
         outputs["masked_rgb"] = outputs["rgb"]
         prompt = text_prompt if text_prompt is not None else "a man is cooking"

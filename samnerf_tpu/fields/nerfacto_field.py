@@ -18,25 +18,46 @@ from samnerf_tpu.fields.mlp import MLP, trunc_exp
 from samnerf_tpu.ops.encodings import sh_encoding
 
 
-def _flatten_sample_major(p):
-    """[..., R, S, 3] -> ([R*S, 3] in sample-major order, unflatten fn).
+SAMPLE_BLOCK = 1024
+"""Rays per spatial block in the block-major flatten.  With the serve
+path's 2D-tiled pixel ordering (``eval_render``), 1024 consecutive rays
+are a 32x32 pixel block, so one 8192-point kernel tile is that block at 8
+consecutive depths — spatially tight, so it touches very few morton
+regions (= table slabs the v4 kernel skips)."""
+
+
+def _flatten_sample_major(p, block: int = SAMPLE_BLOCK):
+    """[..., R, S, 3] -> ([R*S, 3] point stream, unflatten fn).
 
     The hash kernel scans table slabs per point tile and skips slabs a
-    tile does not touch; tiles of *adjacent rays at the same sample
-    index* are spatially tight (rays a few pixels apart, similar depth),
-    while ray-major order puts a whole depth column (near plane to far)
-    in every tile.  Sample-major flattening measurably cuts the scan
-    cost of coherent (eval/serve) batches; for random training rays it
-    is order-neutral.  MLPs downstream are pointwise, so only the
-    final reshape needs undoing.
+    tile does not touch, so the stream order controls the scan cost.
+    Plain sample-major (all rays at sample s, then s+1, ...) makes tiles
+    of adjacent rays at the same depth; block-major refines it: rays are
+    grouped into blocks of ``block``, and each block emits all its
+    samples depth-major before the next block — a kernel tile is then
+    (one ray block) x (a few consecutive depths), which is a compact 3D
+    region when the rays are 2D-tiled.  For random training rays both
+    orders are coherence-neutral.  MLPs downstream are pointwise, so
+    only the final reshape needs undoing; all reorders are pure
+    reshape/transpose (no gathers).
     """
     if p.ndim == 2:
         return p, lambda h: h
     r, s = p.shape[-3], p.shape[-2]
+    lead = p.shape[:-3]
+    if r % block == 0 and r > block:
+        nb = r // block
+
+        def unflatten(h):
+            hh = h.reshape(*lead, nb, s, block, h.shape[-1])
+            return jnp.swapaxes(hh, -2, -3).reshape(*lead, r, s,
+                                                    h.shape[-1])
+
+        flat = jnp.swapaxes(p.reshape(*lead, nb, block, s, 3), -2, -3)
+        return flat.reshape(-1, 3), unflatten
 
     def unflatten(h):
-        return jnp.swapaxes(h.reshape(*p.shape[:-3], s, r, h.shape[-1]),
-                            -2, -3)
+        return jnp.swapaxes(h.reshape(*lead, s, r, h.shape[-1]), -2, -3)
 
     return jnp.swapaxes(p, -2, -3).reshape(-1, 3), unflatten
 
@@ -70,6 +91,12 @@ class NerfactoField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    occ_res: int = 0
+    """Serve-time occupancy-culling grid resolution (0 = off).  The grid
+    itself (``ops.occupancy.ServeOccupancy``) arrives as the ``occ`` call
+    argument; culled samples are moved to a sentinel position before the
+    encode (so coherent tiles touch almost no table slabs) and their
+    density is zeroed."""
 
     def setup(self):
         self.encoding = ParityHashEncoding(
@@ -88,25 +115,39 @@ class NerfactoField(nn.Module):
             self.embedding_appearance = nn.Embed(
                 self.num_images, self.appearance_embedding_dim)
 
-    def get_density(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def get_density(self, positions: jax.Array,
+                    occ=None) -> Tuple[jax.Array, jax.Array]:
         """[R, S, 3] -> (density [R, S, 1], geo_feat [R, S, geo])."""
         p, selector = _contract_and_select(positions)
         flat, unflatten = _flatten_sample_major(p)
+        live = None
+        if occ is not None and self.occ_res:
+            from samnerf_tpu.ops.occupancy import occupancy_live
+            live = occupancy_live(occ, flat, self.occ_res)      # [N, 1]
+            flat = jnp.where(live > 0, flat, 0.5)
         h = unflatten(self.mlp_base(self.encoding(flat)))
         density_raw, geo = h[..., :1], h[..., 1:]
         density = trunc_exp(density_raw) * selector[..., None]
+        if live is not None:
+            density = density * unflatten(live)
         return density, geo
+
+    def density_at_unit(self, p_unit: jax.Array) -> jax.Array:
+        """[N, 3] contracted-unit coords -> [N, 1] density (no selector):
+        the occupancy-bake query (grid points are inside the cube)."""
+        h = self.mlp_base(self.encoding(p_unit))
+        return trunc_exp(h[..., :1])
 
     def __call__(self, positions: jax.Array, directions: jax.Array,
                  camera_indices: Optional[jax.Array] = None,
-                 train: bool = True) -> dict:
+                 train: bool = True, occ=None) -> dict:
         """Full field eval.
 
         Args:
             positions: [R, S, 3]; directions: [R, 3] unit (per ray);
             camera_indices: [R, 1] int32 (appearance embedding only).
         """
-        density, geo = self.get_density(positions)
+        density, geo = self.get_density(positions, occ)
         num_samples = positions.shape[-2]
         d_enc = sh_encoding(directions)  # [R, 16]
         d_enc = jnp.broadcast_to(d_enc[..., None, :],
@@ -143,12 +184,18 @@ class HashMLPDensityField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    occ_res: int = 0
 
     @nn.compact
-    def __call__(self, positions: jax.Array) -> jax.Array:
+    def __call__(self, positions: jax.Array, occ=None) -> jax.Array:
         """[R, S, 3] -> density [R, S, 1]."""
         p, selector = _contract_and_select(positions)
         flat, unflatten = _flatten_sample_major(p)
+        live = None
+        if occ is not None and self.occ_res:
+            from samnerf_tpu.ops.occupancy import occupancy_live
+            live = occupancy_live(occ, flat, self.occ_res)
+            flat = jnp.where(live > 0, flat, 0.5)
         enc = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
@@ -161,4 +208,7 @@ class HashMLPDensityField(nn.Module):
                       num_hidden_layers=self.num_layers - 1, out_dim=1,
                       compute_dtype=self.compute_dtype)(enc)
         raw = unflatten(raw)
-        return trunc_exp(raw) * selector[..., None]
+        density = trunc_exp(raw) * selector[..., None]
+        if live is not None:
+            density = density * unflatten(live)
+        return density

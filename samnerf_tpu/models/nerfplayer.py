@@ -85,6 +85,17 @@ class NerfPlayerModel(nn.Module):
     def setup(self):
         self.field = TemporalField(self.config, name="field")
 
+    def density_fn(self, positions: jax.Array,
+                   times: Optional[jax.Array] = None) -> jax.Array:
+        """[N, 3] world positions -> [N, 1] density (at t=0 unless given);
+        the occupancy-update hook (``nerfplayer_ngp.py``'s grid update via
+        nerfacc ``every_n_step``)."""
+        t = (times if times is not None
+             else jnp.zeros((positions.shape[0], 1), positions.dtype))
+        dirs = jnp.zeros_like(positions).at[..., 0].set(1.0)
+        out = self.field(positions[:, None, :], dirs, t)
+        return out["density"][:, 0]
+
     def __call__(self, ray_bundle: RayBundle,
                  rng: Optional[jax.Array] = None,
                  train: bool = True,

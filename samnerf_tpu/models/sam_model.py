@@ -77,6 +77,12 @@ class SAMModelConfig:
     patch_size: int = 4
     kernel_size: int = 3
     # runtime
+    occ_res: int = 96
+    """Resolution of the serve-time occupancy-culling grid in contracted
+    unit space (baked post-training by ``engine.eval_render.bake_occupancy``
+    — the nerfacc OccupancyGrid analogue for the samnerf serve path).
+    Culling only activates when an ``occupancy`` grid is passed to
+    ``__call__``; training never uses it."""
     hash_q8_serve: bool = False
     """Serve-time int8 hash tables (ParityHashEncoding.quantize_serve):
     ~2x faster table scans at view time; training instances must leave
@@ -118,13 +124,14 @@ class SAMModel(nn.Module):
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
             use_appearance_embedding=cfg.use_appearance_embedding,
             compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-            hash_fn=cfg.hash_fn, name="fields")
+            hash_fn=cfg.hash_fn, occ_res=cfg.occ_res, name="fields")
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, name=f"proposal_networks_{i}", **args))
+                hash_fn=cfg.hash_fn, occ_res=cfg.occ_res,
+                name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
         if cfg.distill_sam:
             self.sam_field = sam_cls(
@@ -142,7 +149,8 @@ class SAMModel(nn.Module):
                  train: bool = True, anneal: jax.Array | float = 1.0,
                  proposal_grad: jax.Array | float = 1.0,
                  get_features: Sequence[str] = (),
-                 bg_color: Optional[jax.Array] = None) -> Dict[str, Any]:
+                 bg_color: Optional[jax.Array] = None,
+                 occupancy=None) -> Dict[str, Any]:
         """Render a flat bundle of rays (reference ``sam_model.py:226-278``).
 
         Args:
@@ -153,6 +161,9 @@ class SAMModel(nn.Module):
             bg_color: optional [3] rgb in [0,1] overriding the configured
                 background (the reference's BACKGROUND_COLOR_OVERRIDE
                 context used for viewer crops, ``renderers.py:43-55``).
+            occupancy: optional ``ops.occupancy.ServeOccupancy`` culling
+                grid (serve only): empty-space samples skip the
+                full-capacity table scans and contribute zero density.
         """
         cfg = self.config
         if ray_bundle.nears is None or ray_bundle.fars is None:
@@ -162,7 +173,8 @@ class SAMModel(nn.Module):
             ray_bundle = ray_bundle.with_near_far(cfg.near_plane,
                                                   cfg.far_plane)
 
-        density_fns = [lambda pos, p=p: p(pos) for p in self.proposal_networks]
+        density_fns = [lambda pos, p=p: p(pos, occupancy)
+                       for p in self.proposal_networks]
         ray_samples, weights_list, ray_samples_list = proposal_sampling(
             rng, ray_bundle, density_fns,
             cfg.num_proposal_samples_per_ray, cfg.num_nerf_samples_per_ray,
@@ -171,7 +183,7 @@ class SAMModel(nn.Module):
 
         # positional call: train / get_features are remat static_argnums
         field_out = self.fields(ray_samples.positions(), ray_samples.directions,
-                                ray_samples.camera_indices, train)
+                                ray_samples.camera_indices, train, occupancy)
         weights = ray_samples.get_weights(field_out["density"])
         weights_list = list(weights_list) + [weights]
         ray_samples_list = list(ray_samples_list) + [ray_samples]

@@ -595,6 +595,160 @@ def _public_to_internal(g, num_packed, num_levels):
         num_packed * num_levels, 2, n)
 
 
+# --- v4: prefetch-gather kernels (touched slabs only) -------------------------
+#
+# v2 streams EVERY slab of every level past every point tile: the Mosaic
+# pipeline prefetches the table block of each grid step whether or not the
+# in-kernel mask skips its scan, so a coherent tile still pays the full
+# table's DMA (at 2^19: 2 MB x levels x tiles).  v4 turns the slab axis of
+# the grid into an indirection: the per-(level, tile) list of slabs the
+# tile actually touches is computed OUTSIDE the kernel (cheap vectorized
+# index math + per-tile reductions), sorted, padded by repeating the last
+# touched id, and passed as a scalar-prefetch operand that the table
+# BlockSpec's index map reads.  Untouched slabs are never fetched; padded
+# steps repeat the previous block index, which the pipeline recognizes and
+# skips, so they cost neither DMA nor VPU.  Random point sets degrade
+# gracefully to exactly v2's behavior (every slab touched).
+
+
+def _touched_slab_ids(pos_t, plan, num_steps: int, tile: int, slab: int,
+                      hash_fn: str, q8: bool = False):
+    """Per-(level, point-tile) sorted touched-slab lists.
+
+    pos_t [8, N] (rows 0-2 = xyz in [0,1]) -> int32
+    [num_levels, N/tile, n_slabs], each row the ascending slab ids whose
+    row-groups any corner of any point in the tile resolves to, padded to
+    n_slabs by repeating the last touched id.  Must use the SAME index
+    math as the kernel (bit-identical fp32 ops) so no touched slab is
+    missed.  q8=True addresses the int8-packed layout (half row-groups).
+    """
+    n = pos_t.shape[1]
+    n_tiles = n // tile
+    steps_total = max(num_steps // 2, 1) if q8 else num_steps
+    n_slabs = max(steps_total // slab, 1)
+    shift = slab.bit_length() - 1
+    x = pos_t[0:1, :]
+    y = pos_t[1:2, :]
+    z = pos_t[2:3, :]
+    s_ids = jnp.arange(PARITIES, dtype=jnp.int32)[:, None]
+    s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
+    iota = jnp.arange(n_slabs, dtype=jnp.int32)
+    per_level = []
+    for scale, dense, half in plan:
+        if q8:
+            _, hi, _ = _corner_index_math_q8(
+                x, y, z, jnp.float32(scale), jnp.int32(1 if dense else 0),
+                jnp.int32(half), num_steps, s0, s1, s2, hash_fn)
+        else:
+            _, hi, _ = _corner_index_math(x, y, z, scale, dense, half,
+                                          num_steps, s0, s1, s2, hash_fn)
+        sl = (hi >> shift).reshape(PARITIES, n_tiles, tile)
+        mask = jnp.stack(
+            [jnp.any(sl == s, axis=(0, 2)) for s in range(n_slabs)], -1)
+        ids = jnp.sort(jnp.where(mask, iota[None], n_slabs), axis=-1)
+        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)   # >= 1 always
+        last = jnp.take_along_axis(ids, jnp.maximum(cnt - 1, 0)[:, None],
+                                   axis=-1)
+        per_level.append(jnp.where(iota[None, :] < cnt[:, None], ids, last))
+    # FLAT [(level*n_tiles + tile)*n_slabs + k]: SMEM pads the minor dim
+    # of multi-dim scalar-prefetch arrays to 128 lanes (a [L, T, K] i32
+    # blows the 1 MB SMEM budget 16x); 1-D arrays stay unpadded
+    return jnp.stack(per_level, 0).astype(jnp.int32).reshape(-1)
+
+
+def _fwd_kernel_v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref, out_ref,
+                   lo_s, hi_s, w_s, *, num_steps: int, num_levels: int,
+                   n_tiles: int, n_slabs: int, tile: int, slab: int,
+                   hash_fn: str = "reference"):
+    """v2 with the slab grid axis indirected through ``ids_ref``
+    (flat [(level*n_tiles + tile)*n_slabs + k], scalar prefetch; also
+    consumed by the table BlockSpec index map).  Grid (PL, tiles,
+    n_slabs); k-th step scans slab ids[l, i, k], skipping padded steps
+    (same id as k-1)."""
+    pid = pl.program_id(0)
+    i_id = pl.program_id(1)
+    k_id = pl.program_id(2)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    scale = scale_ref[pid, 0]
+    row = (pid % num_levels) * n_tiles + i_id
+    sid = ids_ref[row * n_slabs + k_id]
+
+    @pl.when(k_id == 0)
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
+        lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2, hash_fn)
+        lo_s[...] = lo
+        hi_s[...] = hi
+        w_s[...] = w
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    prev = ids_ref[row * n_slabs + jnp.maximum(k_id - 1, 0)]
+
+    @pl.when((k_id == 0) | (sid != prev))
+    def _scan_slab():
+        base = sid * slab
+        for j in range(tile // LANES):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols]
+            hi = hi_s[:, cols] - base
+            w = w_s[:, cols]
+            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+            for u in range(slab):
+                src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
+                g = jnp.take_along_axis(src, lo, axis=1)
+                acc = jnp.where(hi == u, g, acc)
+            bits = pltpu.bitcast(acc, jnp.uint32)
+            f0 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+            f1 = pltpu.bitcast(bits << 16, jnp.float32)
+            out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
+            out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
+
+
+def _fwd_call_v4(packed_table, positions_t, meta, scale, ids, *, num_steps,
+                 num_levels, tile, hash_fn="reference", slab: int = 0):
+    """``ids`` must come from :func:`_touched_slab_ids` with the SAME
+    ``slab`` granularity (0 = the default min(V2_SLAB, num_steps))."""
+    pl_rows = packed_table.shape[0]
+    n = positions_t.shape[1]
+    slab = slab or min(V2_SLAB, num_steps)
+    n_slabs = max(num_steps // slab, 1)
+    n_tiles = n // tile
+    kern = functools.partial(_fwd_kernel_v4, num_steps=num_steps,
+                             num_levels=num_levels, n_tiles=n_tiles,
+                             n_slabs=n_slabs, tile=tile, slab=slab,
+                             hash_fn=hash_fn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl_rows, n_tiles, n_slabs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda l, i, k, ids: (0, i)),
+            pl.BlockSpec(
+                (1, slab * PARITIES, LANES),
+                lambda l, i, k, ids: (
+                    l, ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                    0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, k, ids: (l, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+    )(ids, meta, scale, positions_t, packed_table)
+
+
 # --- int8 serving mode ----------------------------------------------------------
 #
 # Serve-time quantization: each (pack, level) table is symmetric-int8
@@ -691,6 +845,63 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
 
+def _fwd_kernel_q8v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref,
+                     out_ref, lo_s, hi_s, w_s, *, num_steps: int,
+                     num_levels: int, n_tiles: int, n_slabs: int, tile: int,
+                     slab: int, hash_fn: str = "reference"):
+    """q8 variant of :func:`_fwd_kernel_v4`: prefetched touched-slab ids
+    over the int8-packed layout (half the row-groups)."""
+    pid = pl.program_id(0)
+    i_id = pl.program_id(1)
+    k_id = pl.program_id(2)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    scale = scale_ref[pid, 0]
+    qscale = scale_ref[pid, 1]
+    row = (pid % num_levels) * n_tiles + i_id
+    sid = ids_ref[row * n_slabs + k_id]
+
+    @pl.when(k_id == 0)
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
+        lo8, hi8, w = _corner_index_math_q8(x, y, z, scale, dense, half,
+                                            num_steps, s0, s1, s2, hash_fn)
+        lo_s[...] = lo8
+        hi_s[...] = hi8
+        w_s[...] = w
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    prev = ids_ref[row * n_slabs + jnp.maximum(k_id - 1, 0)]
+
+    @pl.when((k_id == 0) | (sid != prev))
+    def _scan_slab():
+        base = sid * slab
+        for j in range(tile // LANES):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols] & (LANES - 1)
+            halfbit = lo_s[:, cols] >> 8
+            hi = hi_s[:, cols] - base
+            w = w_s[:, cols]
+            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+            for u in range(slab):
+                src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
+                g = jnp.take_along_axis(src, lo, axis=1)
+                acc = jnp.where(hi == u, g, acc)
+            bits = pltpu.bitcast(acc, jnp.uint32)
+            v16 = (bits >> (halfbit.astype(jnp.uint32) * 16)) \
+                & jnp.uint32(0xFFFF)
+            f0 = (((v16 & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
+                .astype(jnp.float32) * qscale
+            f1 = ((((v16 >> 8) & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
+                .astype(jnp.float32) * qscale
+            out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
+            out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
+
+
 def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
     """Per-(pack, level) metadata for the q8 kernel: row-group counts on
     the 2048-entry-per-group layout; scale_ref carries (level scale,
@@ -737,27 +948,37 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     tile = _pick_tile(n, 8192)
     n_slabs = max(steps8 // slab, 1)
-    kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps, tile=tile,
-                             slab=slab, n_slabs=n_slabs, hash_fn=hash_fn)
-    out = pl.pallas_call(
-        kern,
-        grid=(pl_rows, n // tile, n_slabs),
+    ids = _touched_slab_ids(pos_t, plan, num_steps, tile, slab, hash_fn,
+                            q8=True)
+    n_tiles = n // tile
+    kern = functools.partial(_fwd_kernel_q8v4, num_steps=num_steps,
+                             num_levels=num_levels, n_tiles=n_tiles,
+                             n_slabs=n_slabs, tile=tile, slab=slab,
+                             hash_fn=hash_fn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl_rows, n_tiles, n_slabs),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, tile), lambda l, i, s: (0, i)),
-            pl.BlockSpec((1, slab * PARITIES, LANES),
-                         lambda l, i, s: (l, s, 0)),
+            pl.BlockSpec((8, tile), lambda l, i, k, ids: (0, i)),
+            pl.BlockSpec(
+                (1, slab * PARITIES, LANES),
+                lambda l, i, k, ids: (
+                    l, ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                    0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, s: (l, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, k, ids: (l, 0, i)),
         scratch_shapes=[
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.float32),
-            pltpu.SMEM((n_slabs,), jnp.int32),
         ],
-    )(meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+    )(ids, meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
     return _internal_to_public(out, num_packed, num_levels, n)
 
 
@@ -876,10 +1097,12 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     if _use_v2(num_steps, table.shape[0]) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
-        out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
-                           num_steps=num_steps,
-                           tile=tile or _pick_tile(n, 8192),
-                           hash_fn=hash_fn)
+        t = tile or _pick_tile(n, 8192)
+        slab = min(V2_SLAB, num_steps)
+        ids = _touched_slab_ids(pos_t, plan, num_steps, t, slab, hash_fn)
+        out = _fwd_call_v4(pack_table(table), pos_t, meta, scale, ids,
+                           num_steps=num_steps, num_levels=num_levels,
+                           tile=t, hash_fn=hash_fn)
         return _internal_to_public(out, num_packed, num_levels, n)
     out = _fwd_call(pack_table(table), pos_t, plan=plan, num_steps=num_steps,
                     num_packed=num_packed, num_levels=num_levels,

@@ -113,8 +113,11 @@ def generate_planar_projections_from_equirectangular(
                                                (h, w))
                 name = f"{img_path.stem}_p{count:03d}.png"
                 Image.fromarray(crop).save(out_dir / name)
+                # record the pitch actually rendered (-pitch is what
+                # equirect_to_perspective received) so pose reconstruction
+                # from projections.json matches the crops
                 meta.append({"file_path": name, "source": img_path.name,
-                             "yaw": yaw, "pitch": float(pitch),
+                             "yaw": yaw, "pitch": float(-pitch),
                              "fov": fov_deg})
                 count += 1
     (out_dir / "projections.json").write_text(json.dumps(meta, indent=2))

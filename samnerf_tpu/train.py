@@ -194,12 +194,42 @@ def train_zoo(name: str, argv) -> int:
     opt_state = opt.init(params)
     step_fn = jax.jit(make_zoo_train_step(method, model, cfg, opt))
 
+    # occupancy-grid maintenance for the ngp variants (the reference's
+    # nerfacc OccupancyGrid every-16-step EMA update,
+    # ``models/instant_ngp.py:117-124,186-190``; the grid is all-ones
+    # until warmup so early training sees the whole volume)
+    occupancy = grid_density = occ_update = None
+    occ_warmup, occ_every = 256, 16
+    if method.use_occupancy:
+        from samnerf_tpu.ops.occupancy import update_occupancy
+        res = 64
+        grid_density = jnp.zeros((res ** 3,), jnp.float32)
+        occupancy = jnp.ones((res, res, res), jnp.float32)
+        occ_aabb = (model.aabb if hasattr(model, "aabb")
+                    else jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+                                     jnp.float32))
+
+        @jax.jit
+        def occ_update(params, grid_density, rng):
+            def dfn(pos):
+                return model.apply(params, pos, method=model.density_fn)
+            return update_occupancy(grid_density, dfn, occ_aabb, rng,
+                                    num_samples=res ** 3 // 4)
+
     t0 = time.time()
     for step in range(1, args.max_num_iterations + 1):
         batch = {k: jnp.asarray(v) for k, v in dm.next_train(step).items()}
-        params, opt_state, metrics = step_fn(
-            params, opt_state, cameras, batch,
-            jax.random.PRNGKey(args.seed + step))
+        if method.use_occupancy:
+            if step > occ_warmup and step % occ_every == 0:
+                grid_density, occupancy = occ_update(
+                    params, grid_density, jax.random.PRNGKey(step))
+            params, opt_state, metrics = step_fn(
+                params, opt_state, cameras, batch,
+                jax.random.PRNGKey(args.seed + step), occupancy)
+        else:
+            params, opt_state, metrics = step_fn(
+                params, opt_state, cameras, batch,
+                jax.random.PRNGKey(args.seed + step))
         if step % args.log_every == 0 or step == args.max_num_iterations:
             print(f"step {step}: loss={float(metrics['total_loss']):.5f} "
                   f"({(time.time() - t0):.0f}s)", flush=True)
@@ -220,9 +250,10 @@ def train_zoo(name: str, argv) -> int:
 
     @jax.jit
     def render(params):
+        kw = {"occupancy": occupancy} if method.use_occupancy else {}
         def body(c):
             rb = generate_rays(ec, jnp.zeros((c.shape[0],), jnp.int32), c)
-            return model.apply(params, rb, train=False)["rgb"]
+            return model.apply(params, rb, train=False, **kw)["rgb"]
         return jax.lax.map(body, coords)
 
     rgb = np.asarray(render(params)).reshape(-1, 3)[:h * w].reshape(h, w, 3)

@@ -40,9 +40,12 @@ def _restore_json(obj, raw):
     if isinstance(cur, tuple):
         if raw is None:
             return cur
-        elem = cur[0] if cur else None
-        return tuple(_restore_json(elem, v) if elem is not None else v
-                     for v in raw)
+        # template each raw element on its POSITIONAL counterpart (extra
+        # elements fall back to the last template) so heterogeneous
+        # tuples — e.g. dicts with differing key sets — restore per-slot
+        return tuple(
+            _restore_json(cur[min(i, len(cur) - 1)], v) if cur else v
+            for i, v in enumerate(raw))
     if isinstance(cur, dict):
         if not isinstance(raw, dict):
             return cur

@@ -326,3 +326,74 @@ def test_sample_major_flattening_is_order_invariant():
     out_perm = field.apply(params, p[perm])
     np.testing.assert_allclose(np.asarray(out_perm), np.asarray(out)[perm],
                                rtol=0, atol=0)
+
+
+def test_touched_slab_ids_cover_and_pad():
+    """Every slab any corner resolves to appears in the list; padding
+    repeats the last touched id (consecutive-duplicate skip contract)."""
+    scalings, table, pos = _setup(L=3, steps=8, N=512)
+    plan = hp._level_plan(scalings, 8)
+    slab = 2
+    pos_t = jnp.zeros((8, 512)).at[:3].set(pos.T)
+    ids = np.asarray(hp._touched_slab_ids(pos_t, plan, 8, 128, slab,
+                                          "reference"))
+    assert ids.shape == (3 * 4 * 4,)   # flat [levels * tiles * n_slabs]
+    ids = ids.reshape(3, 4, 4)
+    s_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+    s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
+    for li, (scale, dense, half) in enumerate(plan):
+        _, hi, _ = hp._corner_index_math(
+            pos[:, 0][None], pos[:, 1][None], pos[:, 2][None], scale, dense,
+            half, 8, s0, s1, s2)
+        sl = np.asarray(hi >> 1).reshape(8, 4, 128)
+        for t in range(4):
+            touched = set(np.unique(sl[:, t]))
+            listed = ids[li, t]
+            assert touched == set(listed.tolist()), (li, t)
+            # sorted ascending then padded with the final touched id
+            k = len(touched)
+            assert list(listed[:k]) == sorted(touched)
+            assert all(listed[k:] == listed[k - 1])
+
+
+def test_v4_fwd_matches_reference(monkeypatch):
+    """Prefetch-gather kernel == jnp reference on random AND coherent
+    points (coherent tiles exercise the padded/skipped-slab path)."""
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    plan = hp._level_plan(scalings, 8)
+    meta, scale = hp._plan_meta(plan, 8, 1)
+    t = np.linspace(0, 1, 512, dtype=np.float32)
+    coherent = jnp.asarray(
+        np.stack([0.4 + 0.05 * t, 0.5 + 0.04 * np.sin(3 * t),
+                  0.45 + 0.05 * t], -1))
+    for hf in ("reference", "morton"):
+        for pts in (pos, coherent):
+            ref = hp.parity_hash_encode_ref(table, pts, scalings, 8, hf)
+            pos_t = jnp.zeros((8, 512)).at[:3].set(pts.T)
+            ids = hp._touched_slab_ids(pos_t, plan, 8, 128, 2, hf)
+            out = hp._fwd_call_v4(hp.pack_table(table), pos_t, meta, scale,
+                                  ids, num_steps=8, num_levels=4, tile=128,
+                                  hash_fn=hf, slab=2)
+            out = hp._internal_to_public(out, 1, 4, 512)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6, err_msg=hf)
+
+
+def test_v4_q8_public_coherent_matches_ref(monkeypatch):
+    """Public q8 op (v4 prefetch-gather) == q8 jnp reference on a
+    coherent batch under morton (slabs actually skipped)."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, _ = _setup(L=3, steps=8, N=256, min_res=8, max_res=128)
+    t = np.linspace(0, 1, 256, dtype=np.float32)
+    pos = jnp.asarray(np.stack([0.3 + 0.1 * t, 0.6 - 0.05 * t,
+                                0.5 + 0.08 * np.sin(4 * t)], -1))
+    packed, scales = hp.quantize_parity_table(table)
+    for hf in ("reference", "morton"):
+        ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings,
+                                            8, hf)
+        out = hp.parity_hash_encode_q8(packed, scales, pos, scalings, 8,
+                                       hash_fn=hf)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
