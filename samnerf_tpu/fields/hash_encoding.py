@@ -12,6 +12,7 @@ from samnerf_tpu.ops.encodings import hash_encode, hash_grid_scalings, init_hash
 from samnerf_tpu.ops.hash_pallas import (LANES, PARITIES, init_parity_table,
                                          parity_hash_encode,
                                          parity_hash_encode_q8,
+                                         parity_hash_encode_serve,
                                          quantize_parity_table)
 
 
@@ -82,8 +83,15 @@ class ParityHashEncoding(nn.Module):
         return max(1, (1 << self.log2_hashmap_size) // (PARITIES * LANES))
 
     @nn.compact
-    def __call__(self, positions: jax.Array) -> jax.Array:
-        """positions [N, 3] in [0,1] -> [N, F*L] fp32."""
+    def __call__(self, positions: jax.Array,
+                 live: jax.Array | None = None) -> jax.Array:
+        """positions [N, 3] in [0,1] -> [N, F*L] fp32.
+
+        ``live`` [N] or [N, 1] 0/1 (serve-time only, no gradients): hash
+        kernel point-tiles that are entirely dead are skipped — their
+        outputs are zeros; outputs at dead points inside live tiles are
+        normal.  Callers must gate dead points downstream.
+        """
         assert self.features_per_level % 2 == 0, "features packed in pairs"
         num_packed = self.features_per_level // 2
         scalings = tuple(
@@ -98,12 +106,19 @@ class ParityHashEncoding(nn.Module):
         if pad:
             positions = jnp.concatenate(
                 [positions, jnp.full((pad, 3), 0.5, positions.dtype)])
+            if live is not None:
+                live = jnp.concatenate(
+                    [live.reshape(n), jnp.zeros((pad,), live.dtype)])
         if self.quantize_serve:
             packed, scales = quantize_parity_table(
                 jax.lax.stop_gradient(table))
             out = parity_hash_encode_q8(packed, scales, positions, scalings,
                                         self.num_steps,
-                                        hash_fn=self.hash_fn)
+                                        hash_fn=self.hash_fn, live=live)
+        elif live is not None:
+            out = parity_hash_encode_serve(table, positions, scalings,
+                                           self.num_steps, 0, self.hash_fn,
+                                           live=live)
         else:
             out = parity_hash_encode(table, positions, scalings,
                                      self.num_steps, 0, self.hash_fn)

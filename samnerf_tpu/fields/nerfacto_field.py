@@ -125,7 +125,7 @@ class NerfactoField(nn.Module):
             from samnerf_tpu.ops.occupancy import occupancy_live
             live = occupancy_live(occ, flat, self.occ_res)      # [N, 1]
             flat = jnp.where(live > 0, flat, 0.5)
-        h = unflatten(self.mlp_base(self.encoding(flat)))
+        h = unflatten(self.mlp_base(self.encoding(flat, live=live)))
         density_raw, geo = h[..., :1], h[..., 1:]
         density = trunc_exp(density_raw) * selector[..., None]
         if live is not None:
@@ -200,7 +200,8 @@ class HashMLPDensityField(nn.Module):
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
-            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)(flat)
+            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)(
+                flat, live=live)
         if self.use_linear:
             raw = nn.Dense(1)(enc)
         else:

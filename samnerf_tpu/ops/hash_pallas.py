@@ -612,15 +612,18 @@ def _public_to_internal(g, num_packed, num_levels):
 
 
 def _touched_slab_ids(pos_t, plan, num_steps: int, tile: int, slab: int,
-                      hash_fn: str, q8: bool = False):
+                      hash_fn: str, q8: bool = False, live=None):
     """Per-(level, point-tile) sorted touched-slab lists.
 
-    pos_t [8, N] (rows 0-2 = xyz in [0,1]) -> int32
-    [num_levels, N/tile, n_slabs], each row the ascending slab ids whose
-    row-groups any corner of any point in the tile resolves to, padded to
-    n_slabs by repeating the last touched id.  Must use the SAME index
-    math as the kernel (bit-identical fp32 ops) so no touched slab is
-    missed.  q8=True addresses the int8-packed layout (half row-groups).
+    pos_t [8, N] (rows 0-2 = xyz in [0,1]) -> flat int32
+    [(level*n_tiles + tile)*n_slabs + k], each row the ascending slab ids
+    whose row-groups any corner of any point in the tile resolves to,
+    padded to n_slabs by repeating the last touched id.  Must use the
+    SAME index math as the kernel (bit-identical fp32 ops) so no touched
+    slab is missed.  q8=True addresses the int8-packed layout (half
+    row-groups).  ``live`` [N] (optional, 0/1): tiles with no live point
+    get all-(-1) rows — the kernel skips them entirely (zeroed output,
+    no index math, no scan); the block index map clamps -1 to 0.
     """
     n = pos_t.shape[1]
     n_tiles = n // tile
@@ -643,17 +646,29 @@ def _touched_slab_ids(pos_t, plan, num_steps: int, tile: int, slab: int,
             _, hi, _ = _corner_index_math(x, y, z, scale, dense, half,
                                           num_steps, s0, s1, s2, hash_fn)
         sl = (hi >> shift).reshape(PARITIES, n_tiles, tile)
-        mask = jnp.stack(
-            [jnp.any(sl == s, axis=(0, 2)) for s in range(n_slabs)], -1)
+        if n_slabs <= 32:
+            # one pass: per-tile OR of one-hot slab bits
+            bits = jnp.uint32(1) << sl.astype(jnp.uint32)
+            word = jax.lax.reduce(bits, jnp.uint32(0),
+                                  jax.lax.bitwise_or, (0, 2))
+            mask = ((word[:, None] >> iota.astype(jnp.uint32)[None, :])
+                    & 1).astype(bool)
+        else:
+            mask = jnp.stack(
+                [jnp.any(sl == s, axis=(0, 2)) for s in range(n_slabs)], -1)
         ids = jnp.sort(jnp.where(mask, iota[None], n_slabs), axis=-1)
         cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)   # >= 1 always
         last = jnp.take_along_axis(ids, jnp.maximum(cnt - 1, 0)[:, None],
                                    axis=-1)
         per_level.append(jnp.where(iota[None, :] < cnt[:, None], ids, last))
+    out = jnp.stack(per_level, 0).astype(jnp.int32)
+    if live is not None:
+        alive = jnp.max(live.reshape(n_tiles, tile), axis=1) > 0
+        out = jnp.where(alive[None, :, None], out, -1)
     # FLAT [(level*n_tiles + tile)*n_slabs + k]: SMEM pads the minor dim
     # of multi-dim scalar-prefetch arrays to 128 lanes (a [L, T, K] i32
     # blows the 1 MB SMEM budget 16x); 1-D arrays stay unpadded
-    return jnp.stack(per_level, 0).astype(jnp.int32).reshape(-1)
+    return out.reshape(-1)
 
 
 def _fwd_kernel_v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref, out_ref,
@@ -675,6 +690,12 @@ def _fwd_kernel_v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref, out_ref,
     sid = ids_ref[row * n_slabs + k_id]
 
     @pl.when(k_id == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # sid == -1 marks a dead tile (no live point, see _touched_slab_ids):
+    # skip index math AND every scan — the zeroed output is the contract.
+    @pl.when((k_id == 0) & (sid >= 0))
     def _index_math():
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
         s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
@@ -686,11 +707,10 @@ def _fwd_kernel_v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         lo_s[...] = lo
         hi_s[...] = hi
         w_s[...] = w
-        out_ref[...] = jnp.zeros_like(out_ref)
 
     prev = ids_ref[row * n_slabs + jnp.maximum(k_id - 1, 0)]
 
-    @pl.when((k_id == 0) | (sid != prev))
+    @pl.when((sid >= 0) & ((k_id == 0) | (sid != prev)))
     def _scan_slab():
         base = sid * slab
         for j in range(tile // LANES):
@@ -732,8 +752,13 @@ def _fwd_call_v4(packed_table, positions_t, meta, scale, ids, *, num_steps,
             pl.BlockSpec((8, tile), lambda l, i, k, ids: (0, i)),
             pl.BlockSpec(
                 (1, slab * PARITIES, LANES),
+                # max(id, 0): dead tiles carry -1 (kernel skips the scan,
+                # but the pipeline still needs an in-bounds block index)
                 lambda l, i, k, ids: (
-                    l, ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                    l,
+                    jnp.maximum(
+                        ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                        0),
                     0)),
         ],
         out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, k, ids: (l, 0, i)),
@@ -862,6 +887,10 @@ def _fwd_kernel_q8v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref,
     sid = ids_ref[row * n_slabs + k_id]
 
     @pl.when(k_id == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((k_id == 0) & (sid >= 0))
     def _index_math():
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
         s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
@@ -873,11 +902,10 @@ def _fwd_kernel_q8v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref,
         lo_s[...] = lo8
         hi_s[...] = hi8
         w_s[...] = w
-        out_ref[...] = jnp.zeros_like(out_ref)
 
     prev = ids_ref[row * n_slabs + jnp.maximum(k_id - 1, 0)]
 
-    @pl.when((k_id == 0) | (sid != prev))
+    @pl.when((sid >= 0) & ((k_id == 0) | (sid != prev)))
     def _scan_slab():
         base = sid * slab
         for j in range(tile // LANES):
@@ -928,12 +956,16 @@ def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
 def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
                           positions: jax.Array, scalings,
                           num_steps: int,
-                          hash_fn: str = "reference") -> jax.Array:
+                          hash_fn: str = "reference",
+                          live=None, tile: int = 0) -> jax.Array:
     """Serve-time int8 hash encoding (no gradients).
 
     packed_q8/scales from :func:`quantize_parity_table`;
     positions [N, 3] (N multiple of 128) -> [N, P*2*L] f32, same channel
-    layout as :func:`parity_hash_encode`.
+    layout as :func:`parity_hash_encode`.  ``live`` [N] or [N, 1] 0/1
+    (optional): kernel point-tiles whose points are ALL dead skip index
+    math, table DMA and scanning entirely and output zeros; outputs at
+    dead points are unspecified (callers gate on liveness downstream).
     """
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
@@ -946,10 +978,12 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
         return _parity_hash_encode_q8_ref(packed_q8, scales, positions,
                                           scalings, num_steps, hash_fn)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
-    tile = _pick_tile(n, 8192)
+    tile = tile or _pick_tile(n, 8192)
     n_slabs = max(steps8 // slab, 1)
+    if live is not None:
+        live = live.reshape(n)
     ids = _touched_slab_ids(pos_t, plan, num_steps, tile, slab, hash_fn,
-                            q8=True)
+                            q8=True, live=live)
     n_tiles = n // tile
     kern = functools.partial(_fwd_kernel_q8v4, num_steps=num_steps,
                              num_levels=num_levels, n_tiles=n_tiles,
@@ -965,7 +999,10 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
             pl.BlockSpec(
                 (1, slab * PARITIES, LANES),
                 lambda l, i, k, ids: (
-                    l, ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                    l,
+                    jnp.maximum(
+                        ids[((l % num_levels) * n_tiles + i) * n_slabs + k],
+                        0),
                     0)),
         ],
         out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, k, ids: (l, 0, i)),
@@ -1086,7 +1123,8 @@ def parity_hash_encode(table: jax.Array, positions: jax.Array,
     return _fwd(table, positions, scalings, num_steps, tile, hash_fn)
 
 
-def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
+def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference",
+         live=None):
     if jax.default_backend() != "tpu":
         return parity_hash_encode_ref(table, positions, scalings, num_steps,
                                       hash_fn)
@@ -1099,7 +1137,10 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         t = tile or _pick_tile(n, 8192)
         slab = min(V2_SLAB, num_steps)
-        ids = _touched_slab_ids(pos_t, plan, num_steps, t, slab, hash_fn)
+        if live is not None:
+            live = live.reshape(n)
+        ids = _touched_slab_ids(pos_t, plan, num_steps, t, slab, hash_fn,
+                                live=live)
         out = _fwd_call_v4(pack_table(table), pos_t, meta, scale, ids,
                            num_steps=num_steps, num_levels=num_levels,
                            tile=t, hash_fn=hash_fn)
@@ -1108,6 +1149,21 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference"):
                     num_packed=num_packed, num_levels=num_levels,
                     tile=tile or _pick_tile(n))
     return out.T
+
+
+def parity_hash_encode_serve(table: jax.Array, positions: jax.Array,
+                             scalings, num_steps: int, tile: int = 0,
+                             hash_fn: str = "reference",
+                             live=None) -> jax.Array:
+    """f32 serve-path encode with dead-tile skipping (no gradients).
+
+    Same results as :func:`parity_hash_encode` at live points; kernel
+    tiles whose points are all dead (``live`` 0/1, [N] or [N, 1]) are
+    skipped outright and output zeros.  Use for occupancy-culled
+    serving when int8 quantization is off.
+    """
+    return _fwd(jax.lax.stop_gradient(table), positions, scalings,
+                num_steps, tile, hash_fn, live=live)
 
 
 def _fwd_rule(table, positions, scalings, num_steps, tile,

@@ -105,7 +105,14 @@ def _launch_viewer(trainer, config: MethodConfig):
                         cameras=cams, port=config.websocket_port,
                         save_checkpoint_fn=trainer.save_checkpoint)
     state.start()
-    state.init_scene()
+    state.camera_paths_dir = str(
+        Path(config.trainer.output_dir) / "camera_paths")
+    state.init_scene(
+        cameras=trainer.datamanager.cameras,
+        images=trainer.datamanager.images,
+        config_base_dir=str(config.trainer.output_dir),
+        data_base_dir=str(config.datamanager.dataparser.data),
+        export_path_name=Path(str(config.trainer.output_dir)).stem)
     serve_client(http_port=config.http_port, ws_port=config.websocket_port)
     print(f"viewer: http://localhost:{config.http_port}/"
           f"?port={config.websocket_port}")

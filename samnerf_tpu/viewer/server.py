@@ -114,6 +114,19 @@ class ViewerServer:
         self.broadcast(m.SceneBoxMessage(min=tuple(aabb_min),
                                          max=tuple(aabb_max)))
 
+    def add_dataset_image(self, idx: str, json: dict) -> None:
+        """Camera frustum + thumbnail for one training view
+        (``message_api.py:436-444``)."""
+        self.broadcast(m.DatasetImageMessage(idx=idx, json=json))
+
+    def send_file_path_info(self, config_base_dir: str, data_base_dir: str,
+                            export_path_name: str) -> None:
+        """``message_api.py:158-172``."""
+        self.broadcast(m.FilePathInfoMessage(
+            config_base_dir=str(config_base_dir),
+            data_base_dir=str(data_base_dir),
+            export_path_name=str(export_path_name)))
+
     def use_sam(self, use: bool) -> None:
         self.broadcast(m.SamMessage(use_sam=use))
 

@@ -20,6 +20,41 @@ from samnerf_tpu.viewer.render_state_machine import (RenderAction,
 from samnerf_tpu.viewer.server import ViewerServer
 
 
+def _camera_to_json(cameras, idx: int, image=None, max_size: int = 100):
+    """One training camera as the reference's ``Cameras.to_json`` dict
+    (``nerfstudio/cameras/cameras.py:728-761``): intrinsics + 3x4
+    camera_to_world + optional base64-jpeg thumbnail data-url."""
+    d = {
+        "type": "PinholeCamera",
+        "cx": float(np.asarray(cameras.cx).reshape(-1)[idx]),
+        "cy": float(np.asarray(cameras.cy).reshape(-1)[idx]),
+        "fx": float(np.asarray(cameras.fx).reshape(-1)[idx]),
+        "fy": float(np.asarray(cameras.fy).reshape(-1)[idx]),
+        "camera_to_world":
+            np.asarray(cameras.camera_to_worlds)[idx].tolist(),
+        "camera_index": idx,
+        "times": None,
+    }
+    if image is not None:
+        import base64
+        import io
+
+        from PIL import Image
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        pil = Image.fromarray(img)
+        s = max_size / max(pil.size)
+        if s < 1:
+            pil = pil.resize((max(int(pil.size[0] * s), 1),
+                              max(int(pil.size[1] * s), 1)))
+        buf = io.BytesIO()
+        pil.save(buf, format="JPEG", quality=75)
+        d["image"] = ("data:image/jpeg;base64,"
+                      + base64.b64encode(buf.getvalue()).decode("ascii"))
+    return d
+
+
 class ViewerState:
     def __init__(self, renderer, params_fn, cameras,
                  host: str = "0.0.0.0", port: int = 7007,
@@ -74,6 +109,13 @@ class ViewerState:
         s.register_handler(m.TrainingStateMessage, self._handle_training_state)
         s.register_handler(m.SaveCheckpointMessage, self._handle_save_ckpt)
         s.register_handler(m.CropParamsMessage, self._handle_crop_params)
+        s.register_handler(m.CameraPathPayloadMessage,
+                           self._handle_camera_path_payload)
+        s.register_handler(m.CameraPathOptionsRequest,
+                           self._handle_camera_path_options)
+        # client "save camera path" target (reference writes to
+        # datapath/camera_paths, viewer_state.py:301-320)
+        self.camera_paths_dir = None
 
         # server-declared GUI (reference control_panel.py:96-141) wired to
         # the interactive state
@@ -194,10 +236,59 @@ class ViewerState:
         self.render_machine.action(
             RenderAction("rerender", self.render_machine.last_cam_msg))
 
+    def _handle_camera_path_payload(self, msg: m.CameraPathPayloadMessage):
+        """Persist a client-authored camera path
+        (reference ``viewer_state.py:301-311``): written as
+        ``camera_paths/<filename>.json``, consumable by
+        ``scripts/render.py --traj``."""
+        import json
+        from pathlib import Path
+        d = Path(self.camera_paths_dir or "/tmp/camera_paths")
+        d.mkdir(parents=True, exist_ok=True)
+        name = Path(str(msg.camera_path_filename)).name
+        if not name.endswith(".json"):
+            name += ".json"
+        (d / name).write_text(json.dumps(msg.camera_path))
+
+    def _handle_camera_path_options(self, msg: m.CameraPathOptionsRequest):
+        """List saved camera paths back to the client
+        (reference ``viewer_state.py:313-320``)."""
+        import json
+        from pathlib import Path
+        d = Path(self.camera_paths_dir or "/tmp/camera_paths")
+        payload = {}
+        if d.exists():
+            for p in sorted(d.glob("*.json")):
+                try:
+                    payload[p.name] = json.loads(p.read_text())
+                except (OSError, json.JSONDecodeError):
+                    continue
+        self.server.broadcast(m.CameraPathsMessage(payload=payload))
+
     # --- training-loop integration ------------------------------------------
-    def init_scene(self, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1)):
-        """``viewer_state.py:397-423`` (aabb; camera frusta omitted until the
-        client needs them)."""
+    def init_scene(self, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1),
+                   cameras=None, images=None, max_display: int = 16,
+                   config_base_dir: str = "", data_base_dir: str = "",
+                   export_path_name: str = ""):
+        """``viewer_state.py:397-423``: aabb + per-training-camera frusta
+        with image thumbnails.
+
+        Args:
+            cameras: optional ``core.cameras.Cameras`` (training split).
+            images: optional uint8 [N, H, W, 3] (or list) matching cameras.
+            max_display: images drawn, evenly spaced (``:380-395``).
+        """
+        if config_base_dir or data_base_dir:
+            self.server.send_file_path_info(config_base_dir, data_base_dir,
+                                            export_path_name)
+        if cameras is not None:
+            n = int(cameras.num_cameras)
+            idxs = np.linspace(0, n - 1, min(max_display, n), dtype=int)
+            for i in np.unique(idxs):
+                self.server.add_dataset_image(
+                    f"{int(i):06d}",
+                    _camera_to_json(cameras, int(i),
+                                    None if images is None else images[i]))
         self.server.update_scene_box(aabb_min, aabb_max)
         self.server.set_training_state(self.training_state)
 

@@ -18,7 +18,8 @@ sys.path.insert(0, ".")
 
 
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
-                   args_views=24, hash_fn="reference"):
+                   args_views=24, hash_fn="reference",
+                   return_trainer=False):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -88,6 +89,8 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
             np.sum(pooled * gt_f, -1)
             / np.maximum(np.linalg.norm(pooled, axis=-1)
                          * np.linalg.norm(gt_f, axis=-1), 1e-9)))
+    if return_trainer:
+        return m, trainer
     return m
 
 

@@ -154,3 +154,85 @@ def test_serve_client_http():
     body = urllib.request.urlopen(
         "http://127.0.0.1:17940/", timeout=10).read().decode()
     assert "samnerf-tpu viewer" in body and "CameraMessage" in body
+
+def test_client_emits_search_and_camera_path_messages():
+    """Round-3 client features: search box (SearchTextMessage with
+    switch_to_heat_map), camera-path recorder (CameraPathPayloadMessage),
+    dataset frusta (DatasetImageMessage handling)."""
+    client = Path(__file__).resolve().parents[1] / (
+        "samnerf_tpu/viewer/client/index.html")
+    text = client.read_text()
+    for required in ("SearchTextMessage", "switch_to_heat_map",
+                     "CameraPathPayloadMessage", "camera_path_filename",
+                     "DatasetImageMessage", "camera_to_world",
+                     "render_height", "render_width"):
+        assert required in text, required
+
+
+def test_dataset_image_message_round_trip():
+    """DatasetImageMessage (frusta + thumbnail payload) survives the wire
+    with the reference's to_json key set (cameras.py:728-761)."""
+    from samnerf_tpu.core.cameras import Cameras
+    import jax.numpy as jnp
+
+    from samnerf_tpu.viewer.viewer_state import _camera_to_json
+
+    cams = Cameras(
+        camera_to_worlds=jnp.eye(4)[None, :3, :4],
+        fx=jnp.asarray([[100.0]]), fy=jnp.asarray([[100.0]]),
+        cx=jnp.asarray([[32.0]]), cy=jnp.asarray([[32.0]]),
+        width=64, height=64)
+    img = (np.arange(64 * 64 * 3) % 255).reshape(64, 64, 3).astype(np.uint8)
+    j = _camera_to_json(cams, 0, img)
+    for k in ("type", "cx", "cy", "fx", "fy", "camera_to_world",
+              "camera_index", "times", "image"):
+        assert k in j, k
+    assert j["image"].startswith("data:image/jpeg;base64,")
+    assert np.asarray(j["camera_to_world"]).shape == (3, 4)
+    msg = m.DatasetImageMessage(idx="000000", json=j)
+    back = m.Message.deserialize(msg.serialize())
+    assert back.idx == "000000"
+    assert back.json["camera_index"] == 0
+    np.testing.assert_allclose(back.json["camera_to_world"],
+                               j["camera_to_world"])
+
+
+def test_camera_path_payload_saves_and_renders(tmp_path):
+    """A client-exported camera path payload must save server-side and
+    load through get_path_from_json into renderable Cameras (the
+    render.py --traj contract)."""
+    import json
+
+    from samnerf_tpu.core.camera_paths import get_path_from_json
+    from samnerf_tpu.viewer.viewer_state import ViewerState
+
+    # build the client's kfBuildJson() shape: row-major 4x4 c2w + fov
+    frames = []
+    for ang in (0.0, 0.5, 1.0):
+        eye = np.array([3 * np.sin(ang), 1.0, 3 * np.cos(ang)])
+        mm = np.asarray(_look_at_matrix(eye, [0, 0, 0], [0, 1, 0]))
+        c2w_rows = mm.reshape(4, 4).T.reshape(-1).tolist()
+        frames.append({"camera_to_world": c2w_rows, "fov": 50.0,
+                       "aspect": 1.0})
+    payload = {"camera_type": "perspective", "render_height": 64,
+               "render_width": 64, "camera_path": frames, "fps": 24,
+               "seconds": 1, "smoothness_value": 0.5, "is_cycle": False,
+               "crop": None}
+
+    state = ViewerState.__new__(ViewerState)   # handler only; no sockets
+    state.camera_paths_dir = str(tmp_path)
+    state._handle_camera_path_payload(
+        m.CameraPathPayloadMessage(camera_path_filename="loop",
+                                   camera_path=payload))
+    saved = json.loads((tmp_path / "loop.json").read_text())
+    cams = get_path_from_json(saved)
+    assert cams.num_cameras == 3
+    # first pose: camera at [0, 1, 3] in the exported convention
+    np.testing.assert_allclose(
+        np.asarray(cams.camera_to_worlds)[0][:, 3], [0, 1, 3], atol=1e-6)
+
+    # options request round-trips the saved path back to clients
+    sent = []
+    state.server = type("S", (), {"broadcast": lambda s, x: sent.append(x)})()
+    state._handle_camera_path_options(m.CameraPathOptionsRequest())
+    assert sent and "loop.json" in sent[0].payload

@@ -397,3 +397,73 @@ def test_v4_q8_public_coherent_matches_ref(monkeypatch):
                                        hash_fn=hf)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6, err_msg=hf)
+
+def test_v4_dead_tile_skip(monkeypatch):
+    """Tiles whose points are all dead (live=0) output zeros; live tiles
+    (even with some dead points) match the reference exactly."""
+    _interp(monkeypatch)
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    plan = hp._level_plan(scalings, 8)
+    meta, scale = hp._plan_meta(plan, 8, 1)
+    # tiles of 128: tile 1 fully dead, tile 3 fully dead, others mixed
+    live = np.ones(512, np.float32)
+    live[128:256] = 0.0
+    live[384:512] = 0.0
+    live[5] = 0.0          # dead point inside live tile 0
+    live_j = jnp.asarray(live)
+    for hf in ("reference", "morton"):
+        ref = hp.parity_hash_encode_ref(table, pos, scalings, 8, hf)
+        pos_t = jnp.zeros((8, 512)).at[:3].set(pos.T)
+        ids = hp._touched_slab_ids(pos_t, plan, 8, 128, 2, hf, live=live_j)
+        ids_np = np.asarray(ids).reshape(4, 4, 4)
+        assert (ids_np[:, 1] == -1).all() and (ids_np[:, 3] == -1).all()
+        assert (ids_np[:, 0] >= 0).all() and (ids_np[:, 2] >= 0).all()
+        out = hp._fwd_call_v4(hp.pack_table(table), pos_t, meta, scale,
+                              ids, num_steps=8, num_levels=4, tile=128,
+                              hash_fn=hf, slab=2)
+        out = np.asarray(hp._internal_to_public(out, 1, 4, 512))
+        np.testing.assert_allclose(out[:128], np.asarray(ref)[:128],
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+        np.testing.assert_allclose(out[256:384], np.asarray(ref)[256:384],
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+        assert (out[128:256] == 0).all() and (out[384:] == 0).all()
+
+
+def test_v4_q8_dead_tile_skip(monkeypatch):
+    """q8 public op with live mask: dead tiles zero, live tiles == ref."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=3, steps=8, N=256, min_res=8,
+                                  max_res=128)
+    packed, scales = hp.quantize_parity_table(table)
+    live = jnp.asarray(np.repeat([1.0, 0.0], 128).astype(np.float32))
+    for hf in ("reference", "morton"):
+        ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings,
+                                            8, hf)
+        out = np.asarray(hp.parity_hash_encode_q8(
+            packed, scales, pos, scalings, 8, hash_fn=hf,
+            live=live[:, None], tile=128))
+        np.testing.assert_allclose(out[:128], np.asarray(ref)[:128],
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+        assert (out[128:] == 0).all()
+
+
+def test_serve_encode_live_module(monkeypatch):
+    """ParityHashEncoding(live=...) f32 serve path: dead tiles zeroed,
+    live region matches the no-live module output."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
+    enc = ParityHashEncoding(num_levels=3, min_res=8, max_res=64,
+                             log2_hashmap_size=13, features_per_level=2,
+                             hash_fn="morton")
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (256, 3),
+                             minval=0.01, maxval=0.99)
+    params = enc.init(jax.random.PRNGKey(0), pos)
+    base = np.asarray(enc.apply(params, pos))
+    # the 256-point batch is a single kernel tile: all-live must match the
+    # plain path bit-for-bit, all-dead must come back zeroed
+    out_live = np.asarray(enc.apply(params, pos, live=jnp.ones(256)))
+    np.testing.assert_allclose(out_live, base, rtol=1e-5, atol=1e-6)
+    out_dead = np.asarray(enc.apply(params, pos, live=jnp.zeros(256)))
+    assert (out_dead == 0).all()
