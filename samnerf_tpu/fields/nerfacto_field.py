@@ -123,7 +123,7 @@ class NerfactoField(nn.Module):
         live = None
         if occ is not None and self.occ_res:
             from samnerf_tpu.ops.occupancy import occupancy_live
-            live = occupancy_live(occ, flat, self.occ_res)      # [N, 1]
+            live = occupancy_live(occ, flat, self.occ_res)    # [N, 1]
             flat = jnp.where(live > 0, flat, 0.5)
         h = unflatten(self.mlp_base(self.encoding(flat, live=live)))
         density_raw, geo = h[..., :1], h[..., 1:]

@@ -637,34 +637,39 @@ def _touched_slab_ids(pos_t, plan, num_steps: int, tile: int, slab: int,
     s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
     iota = jnp.arange(n_slabs, dtype=jnp.int32)
     per_level = []
-    for scale, dense, half in plan:
-        if q8:
-            _, hi, _ = _corner_index_math_q8(
-                x, y, z, jnp.float32(scale), jnp.int32(1 if dense else 0),
-                jnp.int32(half), num_steps, s0, s1, s2, hash_fn)
-        else:
-            _, hi, _ = _corner_index_math(x, y, z, scale, dense, half,
-                                          num_steps, s0, s1, s2, hash_fn)
-        sl = (hi >> shift).reshape(PARITIES, n_tiles, tile)
-        if n_slabs <= 32:
-            # one pass: per-tile OR of one-hot slab bits
-            bits = jnp.uint32(1) << sl.astype(jnp.uint32)
-            word = jax.lax.reduce(bits, jnp.uint32(0),
-                                  jax.lax.bitwise_or, (0, 2))
-            mask = ((word[:, None] >> iota.astype(jnp.uint32)[None, :])
-                    & 1).astype(bool)
-        else:
-            mask = jnp.stack(
-                [jnp.any(sl == s, axis=(0, 2)) for s in range(n_slabs)], -1)
-        ids = jnp.sort(jnp.where(mask, iota[None], n_slabs), axis=-1)
-        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)   # >= 1 always
-        last = jnp.take_along_axis(ids, jnp.maximum(cnt - 1, 0)[:, None],
-                                   axis=-1)
-        per_level.append(jnp.where(iota[None, :] < cnt[:, None], ids, last))
-    out = jnp.stack(per_level, 0).astype(jnp.int32)
-    if live is not None:
-        alive = jnp.max(live.reshape(n_tiles, tile), axis=1) > 0
-        out = jnp.where(alive[None, :, None], out, -1)
+    with jax.named_scope("slab_ids"):
+        for scale, dense, half in plan:
+            if q8:
+                _, hi, _ = _corner_index_math_q8(
+                    x, y, z, jnp.float32(scale),
+                    jnp.int32(1 if dense else 0),
+                    jnp.int32(half), num_steps, s0, s1, s2, hash_fn)
+            else:
+                _, hi, _ = _corner_index_math(x, y, z, scale, dense, half,
+                                              num_steps, s0, s1, s2, hash_fn)
+            sl = (hi >> shift).reshape(PARITIES, n_tiles, tile)
+            if n_slabs <= 32:
+                # one pass: per-tile OR of one-hot slab bits
+                bits = jnp.uint32(1) << sl.astype(jnp.uint32)
+                word = jax.lax.reduce(bits, jnp.uint32(0),
+                                      jax.lax.bitwise_or, (0, 2))
+                mask = ((word[:, None] >> iota.astype(jnp.uint32)[None, :])
+                        & 1).astype(bool)
+            else:
+                mask = jnp.stack(
+                    [jnp.any(sl == s, axis=(0, 2))
+                     for s in range(n_slabs)], -1)
+            ids = jnp.sort(jnp.where(mask, iota[None], n_slabs), axis=-1)
+            cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)   # >= 1 always
+            last = jnp.take_along_axis(ids,
+                                       jnp.maximum(cnt - 1, 0)[:, None],
+                                       axis=-1)
+            per_level.append(
+                jnp.where(iota[None, :] < cnt[:, None], ids, last))
+        out = jnp.stack(per_level, 0).astype(jnp.int32)
+        if live is not None:
+            alive = jnp.max(live.reshape(n_tiles, tile), axis=1) > 0
+            out = jnp.where(alive[None, :, None], out, -1)
     # FLAT [(level*n_tiles + tile)*n_slabs + k]: SMEM pads the minor dim
     # of multi-dim scalar-prefetch arrays to 128 lanes (a [L, T, K] i32
     # blows the 1 MB SMEM budget 16x); 1-D arrays stay unpadded

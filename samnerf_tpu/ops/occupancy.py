@@ -76,72 +76,100 @@ def update_occupancy(grid_density: jax.Array, density_fn: Callable,
 
 
 class ServeOccupancy(NamedTuple):
-    """int8-packed one-level dense occupancy table (pytree of 2 arrays).
+    """Dense dilated-occupancy max-mip pyramid (pytree of arrays).
 
     Built by :func:`pack_serve_occupancy`; consumed by
-    :func:`occupancy_live`.  ``res``/``num_steps`` travel in model config
-    (static), not here, so this tuple can be a traced jit argument.
+    :func:`occupancy_live` / :func:`tile_live_points`.  ``mips[k]`` is
+    the flattened max-mip of the 27-neighborhood-DILATED cell grid at
+    resolution ``res >> k`` (down to 3), so ``mips[0][cell(p)] > 0`` ==
+    "any cell in the 3x3x3 neighborhood of p's cell is occupied" — a
+    conservative one-cell dilation baked into the table.  ``res``
+    travels in model config (static), not here, so this tuple can be a
+    traced jit argument.
     """
-    packed: jax.Array     # [1, steps8*8, 128] f32-bitcast int8 lanes
-    scales: jax.Array     # [1]
-
-
-def occupancy_num_steps(res: int) -> int:
-    """Table row-groups per parity class for a res^3 dense level: the
-    next power of two holding ceil((res//2+2)^3 / 128) (the kernel's
-    dense addressing masks the step index with num_steps-1, so the
-    capacity must be a power of two)."""
-    half = res // 2 + 2
-    need = -(-half ** 3 // 128)
-    return 1 << max(0, (need - 1).bit_length())
+    mips: Tuple[jax.Array, ...]
 
 
 def pack_serve_occupancy(occ_cells: np.ndarray) -> ServeOccupancy:
-    """[res, res, res] cell occupancy (0/1, unit-cube cells) -> int8
-    parity table whose trilinear interpolation is > 0 iff ANY cell
-    adjacent to any corner of the query point's cell is occupied (i.e.
-    lattice values are the max over neighboring cells — a conservative
-    one-cell dilation built into the table)."""
-    from samnerf_tpu.ops.hash_pallas import quantize_parity_table
-
+    """[res, res, res] cell occupancy (0/1, unit-cube cells) -> dilated
+    max-mip pyramid (see :class:`ServeOccupancy`)."""
     res = occ_cells.shape[0]
-    half = res // 2 + 2
-    steps = occupancy_num_steps(res)
     occ = np.asarray(occ_cells, np.float32)
-    pad = np.pad(occ, 1)
-    lat = np.zeros((res + 1, res + 1, res + 1), np.float32)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                lat = np.maximum(
-                    lat, pad[dx:dx + res + 1, dy:dy + res + 1,
-                             dz:dz + res + 1])
-    cx, cy, cz = np.meshgrid(np.arange(res + 1), np.arange(res + 1),
-                             np.arange(res + 1), indexing="ij")
-    s = (cx & 1) | ((cy & 1) << 1) | ((cz & 1) << 2)
-    idx = (cx >> 1) + half * ((cy >> 1) + half * (cz >> 1))
-    table = np.zeros((1, steps * 8, 128, 2), np.float32)
-    table[0, (idx >> 7) * 8 + s, idx & 127, 0] = lat
-    table[0, (idx >> 7) * 8 + s, idx & 127, 1] = lat
-    packed, scales = quantize_parity_table(jnp.asarray(table))
-    return ServeOccupancy(packed=packed, scales=scales)
+    pad27 = np.pad(occ, 1)
+    dil = np.zeros_like(occ)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                dil = np.maximum(dil, pad27[dx:dx + res, dy:dy + res,
+                                            dz:dz + res])
+    mips = []
+    cur, r = dil, res
+    while r >= 3:
+        mips.append(jnp.asarray(cur.reshape(-1)))
+        if r % 2 or r // 2 < 3:
+            break
+        r //= 2
+        cur = cur.reshape(r, 2, r, 2, r, 2).max((1, 3, 5))
+    return ServeOccupancy(mips=tuple(mips))
 
 
 def occupancy_live(occ: ServeOccupancy, p_unit: jax.Array, res: int
                    ) -> jax.Array:
     """[N, 3] contracted-unit positions -> [N, 1] float 0/1 liveness
-    (1 = any neighboring cell occupied).  N padded internally."""
-    from samnerf_tpu.ops.hash_pallas import LANES, parity_hash_encode_q8
+    (1 = any cell in the 3x3x3 neighborhood of p's cell occupied): one
+    gather from the full-res dilated mip."""
+    i = jnp.clip((p_unit * res).astype(jnp.int32), 0, res - 1)
+    flat = (i[:, 0] * res + i[:, 1]) * res + i[:, 2]
+    return jnp.take(occ.mips[0], flat)[:, None].astype(p_unit.dtype)
+
+
+def tile_live_points(occ: ServeOccupancy, p_unit: jax.Array, res: int,
+                     tile: int = 0) -> jax.Array:
+    """Per-tile conservative liveness, broadcast per point: [N, 3]
+    contracted-unit positions -> [N, 1] float 0/1.
+
+    Each encode tile (the hash kernel's point granularity) is tested as
+    one AABB against the dilated-occupancy max-mips: a tile is dead only
+    if a mip level whose cells cover its AABB (span <= 2 cells/axis) has
+    zeros at all 8 covering corners.  ~tile-times cheaper than the
+    per-point :func:`occupancy_live` and exactly the granularity the
+    kernel's dead-tile skip consumes; per-point culling inside live
+    tiles is intentionally NOT applied (results there stay exact).
+    """
+    from samnerf_tpu.ops.hash_pallas import _pick_tile
 
     n = p_unit.shape[0]
-    pad = (-n) % LANES
-    if pad:
-        p_unit = jnp.concatenate(
-            [p_unit, jnp.full((pad, 3), 0.5, p_unit.dtype)])
-    out = parity_hash_encode_q8(occ.packed, occ.scales, p_unit,
-                                (float(res),), occupancy_num_steps(res))
-    live = (out[:, :1] > 1e-4).astype(p_unit.dtype)
-    return live[:n] if pad else live
+    tile = tile or _pick_tile(n, 8192)
+    t = n // tile
+    if t * tile != n or not occ.mips:
+        return occupancy_live(occ, p_unit, res)
+    pts = p_unit.reshape(t, tile, 3)
+    mn = pts.min(axis=1)
+    mx = pts.max(axis=1)
+    live = jnp.ones((t,), bool)
+    covered = jnp.zeros((t,), bool)
+    r = res
+    for mip in occ.mips:
+        lo = jnp.clip((mn * r).astype(jnp.int32), 0, r - 1)
+        hi = jnp.clip((mx * r).astype(jnp.int32), 0, r - 1)
+        fits = ((hi - lo) <= 1).all(axis=-1)
+        v = jnp.zeros((t,), mip.dtype)
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    c = jnp.stack([jnp.where(cx, hi[:, 0], lo[:, 0]),
+                                   jnp.where(cy, hi[:, 1], lo[:, 1]),
+                                   jnp.where(cz, hi[:, 2], lo[:, 2])], -1)
+                    flat = (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
+                    v = jnp.maximum(v, jnp.take(mip, flat))
+        use = fits & ~covered
+        live = jnp.where(use, v > 0, live)
+        covered = covered | fits
+        r //= 2
+    # AABB larger than the coarsest mip cells: conservatively live
+    out = jnp.broadcast_to(live.astype(p_unit.dtype)[:, None],
+                           (t, tile)).reshape(n, 1)
+    return out
 
 
 def cells_from_density(density: jax.Array, threshold: float = 0.01

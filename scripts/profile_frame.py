@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--q8", action="store_true")
     ap.add_argument("--morton", action="store_true")
     ap.add_argument("--rgb-only", action="store_true")
+    ap.add_argument("--occ", action="store_true",
+                    help="serve occupancy culling (analytic grid)")
+    ap.add_argument("--chunk", type=int, default=15,
+                    help="log2 rays per serve chunk")
     args = ap.parse_args()
 
     import jax
@@ -88,15 +92,24 @@ def main():
                        cx=jnp.asarray([[256.0]]), cy=jnp.asarray([[256.0]]),
                        width=512, height=512)
 
-    renderer = ImageRenderer(model, chunk=1 << 13)
+    kw = {}
+    if args.occ:
+        from samnerf_tpu.ops.occupancy import pack_serve_occupancy
+        sys.path.insert(0, "scripts")
+        from bench_frame_v4 import analytic_cells
+        kw["occ"] = pack_serve_occupancy(analytic_cells(96))
+
+    renderer = ImageRenderer(model, chunk=1 << args.chunk)
     t0 = time.time()
-    renderer.render_image(params, cam_at(0), 0, 512, 512, features=feats)
+    renderer.render_image(params, cam_at(0), 0, 512, 512, features=feats,
+                          **kw)
     print(f"compile+1: {time.time()-t0:.0f}s", flush=True)
 
     trace_dir = "/tmp/trace_frame"
     jax.profiler.start_trace(trace_dir)
     t0 = time.time()
-    renderer.render_image(params, cam_at(1), 0, 512, 512, features=feats)
+    renderer.render_image(params, cam_at(1), 0, 512, 512, features=feats,
+                          **kw)
     wall = time.time() - t0
     jax.profiler.stop_trace()
     print(f"frame wall: {wall*1e3:.0f} ms")
