@@ -89,12 +89,12 @@ def _blocked_coords(h: int, w: int, chunk: int, bs: int = PIXEL_BLOCK):
     return grid.reshape(-1, chunk, 2), unflatten
 
 
-def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
-                         chunk: int, bs: int = PIXEL_BLOCK):
+def _feature_grid_rays(h: int, w: int, fh: int, fw: int, ps: int,
+                       bs: int = PIXEL_BLOCK):
     """Patch-major linspace ray grid (``sam_model.py:369-379``) in
     2D-patch-block order + the patch-level inverse reshape.
 
-    Returns (coords [n_chunks, chunk, 2], unflatten) where
+    Returns (coords [fh*fw*ps*ps, 2] float, unflatten) where
     ``unflatten(patch_feats [>=fh*fw, C]) -> [fh, fw, C]``.  Ray order:
     patch-block (bs/ps x bs/ps patches) -> patch -> pixel-in-patch, so
     the conv head still sees contiguous ps^2 pixel groups while kernel
@@ -117,20 +117,89 @@ def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
     else:
         def unflatten(flat):
             return flat[:fh * fw].reshape(fh, fw, flat.shape[-1])
-    grid = grid.reshape(-1, 2).astype(np.float32)
+    return grid.reshape(-1, 2).astype(np.float32), unflatten
+
+
+def _feature_grid_coords(h: int, w: int, fh: int, fw: int, ps: int,
+                         chunk: int, bs: int = PIXEL_BLOCK):
+    """:func:`_feature_grid_rays`, padded and chunked for ``lax.map``:
+    returns (coords [n_chunks, chunk, 2], unflatten)."""
+    grid, unflatten = _feature_grid_rays(h, w, fh, fw, ps, bs)
     pad = (-grid.shape[0]) % chunk
     if pad:
         grid = np.concatenate([grid, np.tile(grid[-1:], (pad, 1))])
     return grid.reshape(-1, chunk, 2), unflatten
 
 
+def _stream_index(h: int, w: int, chunk: int, bs: int = PIXEL_BLOCK):
+    """Static (row, col) -> position in the :func:`_blocked_coords` ray
+    stream (must mirror its blocked/row-major fallback logic)."""
+    if h % bs or w % bs or chunk % (bs * bs):
+        def index(r, c):
+            return r * w + c
+        return index
+    bw = w // bs
+
+    def index(r, c):
+        return ((r // bs) * bw + c // bs) * bs * bs + (r % bs) * bs + (c % bs)
+    return index
+
+
+def _fused_feature_eval(model, params, cameras, cam_idx, w_flat, mid_flat,
+                        px_coords, idx, get_features, rays_per_call,
+                        k_top, group=1):
+    """Feature rendering that reuses the rgb pass's top-k samples.
+
+    ``w_flat`` [N, K, 1] / ``mid_flat`` [N, K] are the rgb stream's
+    sharpened top-k weights and euclidean sample mids; ``idx`` [M] maps
+    each feature ray to its (identical) pixel ray in that stream.  Only
+    the SAM/ClipSeg field runs here — proposals+nerf were already paid
+    for by the rgb pass (vs the reference re-running the full stack per
+    grid, ``samnerf/sam_model.py:358-418``).  Rays are padded to a
+    multiple of ``rays_per_call`` in whole ``group``-ray units (conv
+    patches); callers slice the padding off the result.
+    """
+    wk = jnp.take(w_flat, idx, axis=0)
+    mid = jnp.take(mid_flat, idx, axis=0)
+    rb = generate_rays(
+        cameras, jnp.full((idx.shape[0],), 0, jnp.int32) + cam_idx,
+        px_coords)
+    pos = (rb.origins[:, None, :] + rb.directions[:, None, :]
+           * mid[..., None])
+    m = pos.shape[0]
+    pad = (-m) % rays_per_call
+    if pad:
+        pos = jnp.concatenate(
+            [pos, jnp.tile(pos[-group:], (pad // group, 1, 1))])
+        wk = jnp.concatenate(
+            [wk, jnp.tile(wk[-group:], (pad // group, 1, 1))])
+    posc = pos.reshape(-1, rays_per_call, k_top, 3)
+    wc = wk.reshape(-1, rays_per_call, k_top, 1)
+    res = jax.lax.map(
+        lambda ab: model.apply(params, ab[0], ab[1], get_features,
+                               method=SAMModel.features_from_topk),
+        (posc, wc))
+    return {k: v.reshape(-1, v.shape[-1]) for k, v in res.items()}
+
+
 class ImageRenderer:
     """Per-resolution jitted frame renderers over a shared model."""
 
-    def __init__(self, model: SAMModel, chunk: int = 1 << 15):
+    def __init__(self, model: SAMModel, chunk: int = 1 << 15,
+                 fuse_features: bool = True):
         self.model = model
         self.cfg = model.config
         self.chunk = chunk
+        self.fuse_features = fuse_features
+        """Fused serve path: the feature grids reuse the rgb pass's
+        proposal+nerf work (top-k sample depths/weights per pixel ray)
+        instead of re-running the full stack on separate ray grids.  The
+        feature rays are the reference's linspace grids rounded to the
+        nearest integer pixel — rays the rgb pass already rendered — so
+        the result equals the unfused path evaluated at those rounded
+        coords (eval-mode sampling is deterministic per ray).  False
+        restores the reference's independent grids
+        (``samnerf/sam_model.py:358-418``)."""
         self._frame_fns = {}
 
     def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...],
@@ -140,24 +209,50 @@ class ImageRenderer:
         rgb_np, rgb_unflatten = _blocked_coords(h, w, chunk)
         rgb_coords = jnp.asarray(rgb_np)
 
-        sam_coords = None
-        sam_unflatten = None
-        if "sam" in features and cfg.distill_sam:
-            fh, fw = get_feature_size(h, w)
-            sam_np, sam_unflatten = _feature_grid_coords(
-                h, w, fh, fw, cfg.patch_size, chunk)
-            sam_coords = jnp.asarray(sam_np)
+        want_sam = "sam" in features and cfg.distill_sam
+        want_clipseg = ("clipseg" in features and cfg.distill_sam
+                        and cfg.use_clipseg_feature)
+        fuse = self.fuse_features and (want_sam or want_clipseg)
+
+        sam_coords = sam_unflatten = None
         clipseg_coords = None
-        if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
+        sam_px = sam_idx = None
+        cs_px = cs_idx = None
+        if want_sam:
+            fh, fw = get_feature_size(h, w)
+            if fuse:
+                grid, sam_unflatten = _feature_grid_rays(
+                    h, w, fh, fw, cfg.patch_size)
+                px = np.rint(grid).astype(np.int64)
+                idx_of = _stream_index(h, w, chunk)
+                sam_idx = jnp.asarray(
+                    idx_of(px[:, 0], px[:, 1]).astype(np.int32))
+                sam_px = jnp.asarray(px.astype(np.float32))
+            else:
+                sam_np, sam_unflatten = _feature_grid_coords(
+                    h, w, fh, fw, cfg.patch_size, chunk)
+                sam_coords = jnp.asarray(sam_np)
+        if want_clipseg:
             hi = np.linspace(0, h - 1, 32)
             wi = np.linspace(0, w - 1, 32)
             hh, ww = np.meshgrid(hi, wi, indexing="ij")
-            clipseg_coords = jnp.asarray(
-                np.stack([hh, ww], -1).reshape(1, 1024, 2).astype(np.float32))
+            cs_grid = np.stack([hh, ww], -1).reshape(-1, 2)
+            if fuse:
+                px = np.rint(cs_grid).astype(np.int64)
+                idx_of = _stream_index(h, w, chunk)
+                cs_idx = jnp.asarray(
+                    idx_of(px[:, 0], px[:, 1]).astype(np.int32))
+                cs_px = jnp.asarray(px.astype(np.float32))
+            else:
+                clipseg_coords = jnp.asarray(
+                    cs_grid.reshape(1, 1024, 2).astype(np.float32))
+
+        k_top = cfg.num_sam_samples
+        ps = cfg.patch_size
 
         def frame(params, cameras, cam_idx, crop_aabb=None, crop_bg=None,
                   occ=None):
-            def run(coords, get_features):
+            def run(coords, get_features, return_topk=False):
                 def body(c):
                     # idx vector sized to this grid's chunk width (the
                     # clipseg grid is one 1024-ray chunk, not `chunk`)
@@ -167,10 +262,11 @@ class ImageRenderer:
                         aabb_box=crop_aabb)
                     return self.model.apply(params, rb, train=False,
                                             get_features=get_features,
-                                            bg_color=crop_bg, occupancy=occ)
+                                            bg_color=crop_bg, occupancy=occ,
+                                            return_topk=return_topk)
                 return jax.lax.map(body, coords)
 
-            out = run(rgb_coords, ())
+            out = run(rgb_coords, (), return_topk=fuse)
             outputs = {
                 "rgb": rgb_unflatten(out["rgb"].reshape(-1, 3)),
                 "depth": rgb_unflatten(out["depth"].reshape(-1, 1)),
@@ -180,6 +276,27 @@ class ImageRenderer:
             for i in range(cfg.num_proposal_iterations):
                 k = f"prop_depth_{i}"
                 outputs[k] = rgb_unflatten(out[k].reshape(-1, 1))
+
+            if fuse:
+                w_flat = out["topk_w"].reshape(-1, k_top, 1)
+                mid_flat = out["topk_mid"].reshape(-1, k_top)
+                if want_sam:
+                    # rays per call: a multiple of ps^2 (whole conv patches)
+                    rpc = max((chunk // k_top) // (ps * ps), 1) * ps * ps
+                    rpc = min(rpc, sam_idx.shape[0])
+                    feats = _fused_feature_eval(
+                        self.model, params, cameras, cam_idx, w_flat,
+                        mid_flat, sam_px, sam_idx, ("sam",), rpc, k_top,
+                        group=ps * ps)
+                    outputs["sam"] = sam_unflatten(feats["sam"])
+                if want_clipseg:
+                    feats = _fused_feature_eval(
+                        self.model, params, cameras, cam_idx, w_flat,
+                        mid_flat, cs_px, cs_idx, ("clipseg",), 1024, k_top)
+                    outputs["clipseg"] = feats["clipseg"][:1024].reshape(
+                        32, 32, -1)
+                return outputs
+
             if sam_coords is not None:
                 sam = run(sam_coords, ("sam",))["sam"]
                 outputs["sam"] = sam_unflatten(
@@ -326,44 +443,115 @@ def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,
     rgb_np, rgb_unflatten = _blocked_coords(h, w, chunk)
     rgb_coords = _pad_to_dev(jnp.asarray(rgb_np))
 
-    sam_coords = None
-    sam_unflatten = None
-    fh = fw = None
-    if "sam" in features and cfg.distill_sam:
-        fh, fw = get_feature_size(h, w)
-        sam_np, sam_unflatten = _feature_grid_coords(
-            h, w, fh, fw, cfg.patch_size, min(chunk, 2048))
-        sam_coords = _pad_to_dev(jnp.asarray(sam_np))
+    want_sam = "sam" in features and cfg.distill_sam
+    want_clipseg = ("clipseg" in features and cfg.distill_sam
+                    and cfg.use_clipseg_feature)
+    fuse = getattr(renderer, "fuse_features", True) and (want_sam
+                                                         or want_clipseg)
+    k_top = cfg.num_sam_samples
+    ps = cfg.patch_size
+
+    def _fused_grid(grid_np, group):
+        """Round to integer pixels, map into the rgb stream, pad to a
+        multiple of n_dev whole groups, reshape per-device."""
+        px = np.rint(grid_np).astype(np.int64)
+        idx_of = _stream_index(h, w, chunk)
+        idx = idx_of(px[:, 0], px[:, 1]).astype(np.int32)
+        pad = (-len(px)) % (n_dev * group)
+        if pad:
+            px = np.concatenate([px, np.tile(px[-group:], (pad // group, 1))])
+            idx = np.concatenate(
+                [idx, np.tile(idx[-group:], pad // group)])
+        return (jnp.asarray(px.astype(np.float32)), jnp.asarray(idx))
+
+    sam_coords = sam_unflatten = None
+    sam_px = sam_idx = None
+    cs_px = cs_idx = None
     clipseg_coords = None
-    if "clipseg" in features and cfg.distill_sam and cfg.use_clipseg_feature:
+    fh = fw = None
+    if want_sam:
+        fh, fw = get_feature_size(h, w)
+        if fuse:
+            grid, sam_unflatten = _feature_grid_rays(h, w, fh, fw, ps)
+            sam_px, sam_idx = _fused_grid(grid, ps * ps)
+        else:
+            sam_np, sam_unflatten = _feature_grid_coords(
+                h, w, fh, fw, ps, min(chunk, 2048))
+            sam_coords = _pad_to_dev(jnp.asarray(sam_np))
+    if want_clipseg:
         hi = np.linspace(0, h - 1, 32)
         wi = np.linspace(0, w - 1, 32)
         hh, ww = np.meshgrid(hi, wi, indexing="ij")
-        grid = np.stack([hh, ww], -1).reshape(-1, 2).astype(np.float32)
-        # one 1024/n_dev-ray chunk per device
-        clipseg_coords = jnp.asarray(grid.reshape(n_dev, 1024 // n_dev, 2))
+        grid = np.stack([hh, ww], -1).reshape(-1, 2)
+        if fuse:
+            cs_px, cs_idx = _fused_grid(grid, 1)
+        else:
+            # one 1024/n_dev-ray chunk per device
+            clipseg_coords = jnp.asarray(
+                grid.astype(np.float32).reshape(n_dev, 1024 // n_dev, 2))
 
-    def local_render(params, cameras, cam_idx, coords, get_features):
+    def local_render(params, cameras, cam_idx, coords, get_features,
+                     return_topk=False):
         def body(c):
             rb = generate_rays(
                 cameras, jnp.full((c.shape[0],), 0, jnp.int32) + cam_idx, c)
             return renderer.model.apply(params, rb, train=False,
-                                        get_features=get_features)
+                                        get_features=get_features,
+                                        return_topk=return_topk)
         return jax.lax.map(body, coords)
 
-    def smap(get_features):
+    def smap(get_features, return_topk=False):
         return shard_map(
-            functools.partial(local_render, get_features=get_features),
+            functools.partial(local_render, get_features=get_features,
+                              return_topk=return_topk),
             mesh=mesh, in_specs=(P(), P(), P(), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS), check_rep=False)
 
+    def local_feat(params, cameras, cam_idx, w_flat, mid_flat, px, idx,
+                   get_features, group):
+        m_loc = px.shape[0]
+        rpc = min(m_loc, max((min(chunk, 2048) // k_top) // group, 1) * group)
+        res = _fused_feature_eval(
+            renderer.model, params, cameras, cam_idx, w_flat, mid_flat,
+            px, idx, get_features, rpc, k_top, group=group)
+        # drop per-device chunk padding so the shard_map concat is exact
+        # (one output row per `group` input rays)
+        return {k: v[:m_loc // group] for k, v in res.items()}
+
+    def feat_smap(get_features, group):
+        return shard_map(
+            functools.partial(local_feat, get_features=get_features,
+                              group=group),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_rep=False)
+
     def render_all(params, cameras, cam_idx):
-        out = smap(())(params, cameras, cam_idx, rgb_coords)
+        out = smap((), return_topk=fuse)(params, cameras, cam_idx,
+                                         rgb_coords)
         res = {}
         for k in ("rgb", "depth", "accumulation"):
             if k in out:
                 v = out[k]
                 res[k] = rgb_unflatten(v.reshape(-1, v.shape[-1]))
+        if fuse:
+            w_flat = out["topk_w"].reshape(-1, k_top, 1)
+            mid_flat = out["topk_mid"].reshape(-1, k_top)
+            if want_sam:
+                # per-device padding inside local_feat stays, so slice
+                # each device's real rows: per-dev ray counts are equal
+                # by _fused_grid's padding -> concatenation is exact
+                s = feat_smap(("sam",), ps * ps)(
+                    params, cameras, cam_idx, w_flat, mid_flat,
+                    sam_px, sam_idx)["sam"]
+                res["sam"] = sam_unflatten(s.reshape(-1, s.shape[-1]))
+            if want_clipseg:
+                c = feat_smap(("clipseg",), 1)(
+                    params, cameras, cam_idx, w_flat, mid_flat,
+                    cs_px, cs_idx)["clipseg"]
+                res["clipseg"] = c.reshape(-1, c.shape[-1])[:1024].reshape(
+                    32, 32, -1)
+            return res
         if sam_coords is not None:
             s = smap(("sam",))(params, cameras, cam_idx, sam_coords)["sam"]
             res["sam"] = sam_unflatten(s.reshape(-1, s.shape[-1]))

@@ -150,7 +150,7 @@ class SAMModel(nn.Module):
                  proposal_grad: jax.Array | float = 1.0,
                  get_features: Sequence[str] = (),
                  bg_color: Optional[jax.Array] = None,
-                 occupancy=None) -> Dict[str, Any]:
+                 occupancy=None, return_topk: bool = False) -> Dict[str, Any]:
         """Render a flat bundle of rays (reference ``sam_model.py:226-278``).
 
         Args:
@@ -164,6 +164,11 @@ class SAMModel(nn.Module):
             occupancy: optional ``ops.occupancy.ServeOccupancy`` culling
                 grid (serve only): empty-space samples skip the
                 full-capacity table scans and contribute zero density.
+            return_topk: also emit per-ray top-``num_sam_samples``
+                sharpened weights (``topk_w`` [R, K, 1]) and euclidean
+                sample mids (``topk_mid`` [R, K]) so a later feature pass
+                can reuse this pass's proposal+nerf work (the fused serve
+                path in :mod:`samnerf_tpu.engine.eval_render`).
         """
         cfg = self.config
         if ray_bundle.nears is None or ray_bundle.fars is None:
@@ -209,27 +214,53 @@ class SAMModel(nn.Module):
                 outputs[f"prop_depth_{i}"] = render_ops.render_depth_median(
                     weights_list[i], ray_samples_list[i])
 
-        if cfg.distill_sam and len(get_features) > 0:
+        if cfg.distill_sam and (len(get_features) > 0 or return_topk):
             # Top-k + sharpen (sam_model.py:244-248); weights detached.
             sam_weights, best_ids = render_ops.topk_sharpened_weights(
                 jax.lax.stop_gradient(weights), cfg.num_sam_samples,
                 cfg.sharpening_temperature)
             sam_samples = ray_samples.take_topk(best_ids)
-            feats = self.sam_field(sam_samples.positions(),
-                                   tuple(get_features))
-            if "sam" in feats:
-                sam_render = render_ops.render_mean(feats["sam"], sam_weights)
-                if cfg.patch_size > 1:
-                    ps = cfg.patch_size
-                    patches = sam_render.reshape(-1, ps, ps, sam_render.shape[-1])
-                    outputs["sam"] = self.conv(patches)  # [N, 256]
-                else:
-                    outputs["sam"] = sam_render
-            if "dino" in feats:
-                outputs["dino"] = render_ops.render_mean(feats["dino"], sam_weights)
-            if "clipseg" in feats:
-                outputs["clipseg"] = render_ops.render_mean(feats["clipseg"], sam_weights)
+            if return_topk:
+                outputs["topk_w"] = sam_weights
+                outputs["topk_mid"] = (
+                    (sam_samples.starts + sam_samples.ends) * 0.5)[..., 0]
+            if len(get_features) > 0:
+                outputs.update(self.features_from_topk(
+                    sam_samples.positions(), sam_weights,
+                    tuple(get_features)))
         return outputs
+
+    def features_from_topk(self, positions: jax.Array, weights: jax.Array,
+                           get_features: Sequence[str]) -> Dict[str, Any]:
+        """Render distilled features at pre-selected top-k samples.
+
+        The second half of the reference's feature render
+        (``samnerf/sam_model.py:249-265``): SAM/DINO/ClipSeg field at the
+        top-k positions, weighted mean, patch conv for SAM.  Split out so
+        the fused serve path (:mod:`samnerf_tpu.engine.eval_render`) can
+        feed it top-k samples reused from the rgb pass instead of
+        re-running proposals+nerf on a separate feature ray grid.
+
+        Args:
+            positions: [R, K, 3] world-space sample positions.
+            weights: [R, K, 1] sharpened (already normalized) weights.
+        """
+        cfg = self.config
+        out: Dict[str, Any] = {}
+        feats = self.sam_field(positions, tuple(get_features))
+        if "sam" in feats:
+            sam_render = render_ops.render_mean(feats["sam"], weights)
+            if cfg.patch_size > 1:
+                ps = cfg.patch_size
+                patches = sam_render.reshape(-1, ps, ps, sam_render.shape[-1])
+                out["sam"] = self.conv(patches)  # [N, 256]
+            else:
+                out["sam"] = sam_render
+        if "dino" in feats:
+            out["dino"] = render_ops.render_mean(feats["dino"], weights)
+        if "clipseg" in feats:
+            out["clipseg"] = render_ops.render_mean(feats["clipseg"], weights)
+        return out
 
 
 def get_loss_dict(config: SAMModelConfig, outputs: Dict[str, Any],

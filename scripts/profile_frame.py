@@ -57,6 +57,10 @@ def main():
                     help="serve occupancy culling (analytic grid)")
     ap.add_argument("--chunk", type=int, default=15,
                     help="log2 rays per serve chunk")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute dtype (serve)")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="independent feature ray grids (reference style)")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +72,9 @@ def main():
     from samnerf_tpu.models.sam_model import SAMModel, SAMModelConfig
 
     cfg = SAMModelConfig(num_images=4, hash_q8_serve=args.q8,
-                         hash_fn="morton" if args.morton else "reference")
+                         hash_fn="morton" if args.morton else "reference",
+                         compute_dtype=(jnp.bfloat16 if args.bf16
+                                        else jnp.float32))
     model = SAMModel(cfg)
     feats = () if args.rgb_only else ("sam", "clipseg")
 
@@ -99,7 +105,8 @@ def main():
         from bench_frame_v4 import analytic_cells
         kw["occ"] = pack_serve_occupancy(analytic_cells(96))
 
-    renderer = ImageRenderer(model, chunk=1 << args.chunk)
+    renderer = ImageRenderer(model, chunk=1 << args.chunk,
+                             fuse_features=not args.no_fuse)
     t0 = time.time()
     renderer.render_image(params, cam_at(0), 0, 512, 512, features=feats,
                           **kw)
