@@ -69,7 +69,9 @@ def main():
     dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
                           False, method=Sam.decode_masks)
 
-    renderer = ImageRenderer(model, chunk=1 << 15)
+    import os
+    renderer = ImageRenderer(model, chunk=1 << 15,
+                             fuse_features=not os.environ.get("BENCH_NO_FUSE"))
     feats = ("sam", "clipseg")
 
     @jax.jit
@@ -130,6 +132,17 @@ def main():
     dt = (time.time() - t0) / n
     fps = 1.0 / dt
 
+    # v5e-8 extrapolation factor: measured strong-scaling overhead of the
+    # sharded frame fn (scripts/bench_scaling.py -> docs/SCALING.json);
+    # falls back to the ideal 8x minus nothing only if unmeasured
+    try:
+        import pathlib
+        scaling = json.loads(pathlib.Path(
+            "docs/SCALING.json").read_text())
+        factor = float(scaling["extrapolation_factor_v5e8"])
+    except Exception:
+        factor, scaling = 7.5, None
+
     print(json.dumps({
         "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
@@ -139,7 +152,13 @@ def main():
         "vs_baseline": round(fps / 3.75, 4),
         "tables": f"2^{cfg.log2_hashmap_size} fields / "
                   f"2^{cfg.proposal_net_args[0]['log2_hashmap_size']} props",
-        "sharded_v5e8_fps_extrapolated": round(fps * 7.5, 2),
+        "sharded_v5e8_fps_extrapolated": round(fps * factor, 2),
+        "extrapolation_factor": {
+            "value": factor,
+            "source": ("docs/SCALING.json (measured shard_map strong-"
+                       "scaling overhead on an 8-device virtual mesh)"
+                       if scaling else "fallback"),
+        },
     }))
 
 

@@ -39,12 +39,15 @@ def get_feature_size(h: int, w: int, largesize: int = 64) -> Tuple[int, int]:
     return largesize, largesize
 
 
-PIXEL_BLOCK = 32
+import os as _os
+
+PIXEL_BLOCK = int(_os.environ.get("SAMNERF_PIXEL_BLOCK", "32"))
 """Side of the 2D pixel blocks the serve ray stream is tiled into: 32x32
 pixels = 1024 consecutive rays = one ``fields.nerfacto_field.SAMPLE_BLOCK``
 — so hash-kernel tiles see compact image regions, not full-width strips,
 and the morton slab skip actually bites.  All reorders are static
-reshape/transposes (never gathers, which are scalar-core-bound on TPU)."""
+reshape/transposes (never gathers, which are scalar-core-bound on TPU).
+Env-overridable for A/B runs (1 = row-major order)."""
 
 
 def _chunked_coords(h: int, w: int, chunk: int) -> np.ndarray:
@@ -281,8 +284,11 @@ class ImageRenderer:
                 w_flat = out["topk_w"].reshape(-1, k_top, 1)
                 mid_flat = out["topk_mid"].reshape(-1, k_top)
                 if want_sam:
-                    # rays per call: a multiple of ps^2 (whole conv patches)
-                    rpc = max((chunk // k_top) // (ps * ps), 1) * ps * ps
+                    # rays per call: a multiple of ps^2 (whole conv
+                    # patches), sized so points-per-call matches the rgb
+                    # pass's chunk x samples (small calls = many tiny
+                    # kernel launches, measurably slower)
+                    rpc = max(chunk // (ps * ps), 1) * ps * ps
                     rpc = min(rpc, sam_idx.shape[0])
                     feats = _fused_feature_eval(
                         self.model, params, cameras, cam_idx, w_flat,

@@ -18,15 +18,19 @@ from samnerf_tpu.fields.mlp import MLP, trunc_exp
 from samnerf_tpu.ops.encodings import sh_encoding
 
 
-SAMPLE_BLOCK = 1024
+import os as _os
+
+SAMPLE_BLOCK = int(_os.environ.get("SAMNERF_SAMPLE_BLOCK", "1024"))
 """Rays per spatial block in the block-major flatten.  With the serve
 path's 2D-tiled pixel ordering (``eval_render``), 1024 consecutive rays
 are a 32x32 pixel block, so one 8192-point kernel tile is that block at 8
 consecutive depths — spatially tight, so it touches very few morton
-regions (= table slabs the v4 kernel skips)."""
+regions (= table slabs the v4 kernel skips).  Env-overridable for A/B
+runs (0 = plain sample-major)."""
 
 
-def _flatten_sample_major(p, block: int = SAMPLE_BLOCK):
+def _flatten_sample_major(p, block=None):
+    block = SAMPLE_BLOCK if block is None else block
     """[..., R, S, 3] -> ([R*S, 3] point stream, unflatten fn).
 
     The hash kernel scans table slabs per point tile and skips slabs a
@@ -45,7 +49,7 @@ def _flatten_sample_major(p, block: int = SAMPLE_BLOCK):
         return p, lambda h: h
     r, s = p.shape[-3], p.shape[-2]
     lead = p.shape[:-3]
-    if r % block == 0 and r > block:
+    if block and r % block == 0 and r > block:
         nb = r // block
 
         def unflatten(h):

@@ -70,6 +70,21 @@ LANES = 128
 PARITIES = 8
 
 
+def _kernel_version() -> str:
+    """Hash-kernel selector (SAMNERF_HASH_KERNEL env, A/B-able).
+
+    v2 (default): stream every table slab through each tile with the
+    per-tile slab-membership skip — measured FASTER end-to-end (bench.py
+    1.98 vs 1.37 FPS at 512^2 full capacity) because the scan is
+    VPU-bound and Mosaic already pipelines the slab DMA under it, while
+    v4's touched-slab ids duplicate the corner hashing in XLA.
+    v4: prefetch-gather only touched slabs; required (and always used)
+    for the dead-tile skip when a ``live`` mask is passed; on random
+    training batches it ties v2 (7.6k vs 7.4k rays/s)."""
+    import os
+    return os.environ.get("SAMNERF_HASH_KERNEL", "v2")
+
+
 def level_is_dense(res: int, num_steps: int) -> bool:
     """A parity class holds ceil((res+2)/2)^3 lattice points when indexed
     densely; dense iff that fits the class capacity (num_steps * 128)."""
@@ -987,6 +1002,30 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
     n_slabs = max(steps8 // slab, 1)
     if live is not None:
         live = live.reshape(n)
+    if _kernel_version() == "v2" and live is None:
+        kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps,
+                                 tile=tile, slab=slab, n_slabs=n_slabs,
+                                 hash_fn=hash_fn)
+        out = pl.pallas_call(
+            kern,
+            grid=(pl_rows, n // tile, n_slabs),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, tile), lambda l, i, s: (0, i)),
+                pl.BlockSpec((1, slab * PARITIES, LANES),
+                             lambda l, i, s: (l, s, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, tile), lambda l, i, s: (l, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((pl_rows, 2, n), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((PARITIES, tile), jnp.int32),
+                pltpu.VMEM((PARITIES, tile), jnp.int32),
+                pltpu.VMEM((PARITIES, tile), jnp.float32),
+                pltpu.SMEM((n_slabs,), jnp.int32),
+            ],
+        )(meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
+        return _internal_to_public(out, num_packed, num_levels, n)
     ids = _touched_slab_ids(pos_t, plan, num_steps, tile, slab, hash_fn,
                             q8=True, live=live)
     n_tiles = n // tile
@@ -1141,6 +1180,10 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference",
     if _use_v2(num_steps, table.shape[0]) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         t = tile or _pick_tile(n, 8192)
+        if _kernel_version() == "v2" and live is None:
+            out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
+                               num_steps=num_steps, tile=t, hash_fn=hash_fn)
+            return _internal_to_public(out, num_packed, num_levels, n)
         slab = min(V2_SLAB, num_steps)
         if live is not None:
             live = live.reshape(n)
