@@ -38,8 +38,12 @@ def main():
     # whose slab-skip makes coherent eval tiles cheap; quality parity
     # with the reference hash measured at 2^19 in docs/QUALITY_morton.md:
     # test PSNR 22.27 vs 22.28, SSIM 0.866 vs 0.869)
+    import os
     cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True,
-                         hash_q8_serve=True, hash_fn="morton")
+                         hash_q8_serve=True, hash_fn="morton",
+                         compute_dtype=(jnp.bfloat16
+                                        if os.environ.get("BENCH_BF16")
+                                        else jnp.float32))
     model = SAMModel(cfg)
 
     c2w = np.eye(4)[:3, :4].astype(np.float32)
@@ -155,8 +159,9 @@ def main():
         "sharded_v5e8_fps_extrapolated": round(fps * factor, 2),
         "extrapolation_factor": {
             "value": factor,
-            "source": ("docs/SCALING.json (measured shard_map strong-"
-                       "scaling overhead on an 8-device virtual mesh)"
+            "source": ("docs/SCALING.json (analytic ICI collective "
+                       "budget, docs/SCALING.md; CPU-mesh curve "
+                       "recorded but unusable on this host)"
                        if scaling else "fallback"),
         },
     }))

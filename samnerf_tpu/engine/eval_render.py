@@ -203,7 +203,12 @@ class ImageRenderer:
         coords (eval-mode sampling is deterministic per ray).  False
         restores the reference's independent grids
         (``samnerf/sam_model.py:358-418``)."""
+        import threading
         self._frame_fns = {}
+        self._lock = threading.Lock()
+        """Serializes frame-fn build + dispatch: the viewer's render
+        thread and eval/test threads share one renderer, and both the
+        ``_frame_fns`` cache and first-call jit tracing must not race."""
 
     def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...],
                         use_crop: bool = False, use_occ: bool = False):
@@ -353,17 +358,18 @@ class ImageRenderer:
                             features: Tuple[str, ...] = (),
                             crop_aabb=None, crop_bg=None, occ=None):
         """Device-resident variant (viewer keeps arrays on device)."""
-        fn = self._frame_fn(height, width, tuple(features),
-                            crop_aabb is not None, occ is not None)
-        ci = jnp.asarray(camera_index, jnp.int32)
-        args = [params, cameras, ci]
-        if crop_aabb is not None:
-            args.append(jnp.asarray(crop_aabb, jnp.float32))
-            args.append(jnp.zeros(3) if crop_bg is None
-                        else jnp.asarray(crop_bg, jnp.float32))
-        if occ is not None:
-            args.append(occ)
-        return fn(*args)
+        with self._lock:
+            fn = self._frame_fn(height, width, tuple(features),
+                                crop_aabb is not None, occ is not None)
+            ci = jnp.asarray(camera_index, jnp.int32)
+            args = [params, cameras, ci]
+            if crop_aabb is not None:
+                args.append(jnp.asarray(crop_aabb, jnp.float32))
+                args.append(jnp.zeros(3) if crop_bg is None
+                            else jnp.asarray(crop_bg, jnp.float32))
+            if occ is not None:
+                args.append(occ)
+            return fn(*args)
 
 
 def bake_occupancy(model: SAMModel, params, res: int = 0,

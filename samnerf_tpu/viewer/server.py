@@ -64,7 +64,14 @@ class ViewerServer:
                 except Exception:
                     continue
                 for handler in self._handlers.get(type(msg), []):
-                    handler(msg)
+                    try:
+                        handler(msg)
+                    except Exception:
+                        # a buggy handler must not tear down the client
+                        # connection (the reference's viser bridge also
+                        # survives handler errors)
+                        import traceback
+                        traceback.print_exc()
         finally:
             self._clients.discard(ws)
 

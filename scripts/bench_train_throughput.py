@@ -1,0 +1,80 @@
+"""Real-trainer training throughput at reference capacity.
+
+Unlike ``profile_train_step.py`` (single dispatched step: includes the
+~400 ms host/tunnel gap every step), this drives the actual
+``engine.trainer.Trainer`` loop, whose 20-step fused ``lax.scan``
+dispatch amortizes the gap — the number a real ``samnerf_distill`` run
+sees.  Prints rays/s over the steady-state portion.
+
+Run: python scripts/bench_train_throughput.py [--steps 200] [--rays 16384]
+     [--remat] [--hash-fn morton]
+"""
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--rays", type=int, default=16384)
+    ap.add_argument("--log2", type=int, default=19)
+    ap.add_argument("--plog2", type=int, default=17)
+    ap.add_argument("--hash-fn", default="morton")
+    ap.add_argument("--remat", action="store_true",
+                    help="re-enable remat (default: off, measured faster)")
+    args = ap.parse_args()
+
+    from samnerf_tpu.configs.methods import method_configs
+    from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
+    from samnerf_tpu.data.dataparser import DataparserConfig
+    from samnerf_tpu.engine.trainer import Trainer, TrainerConfig
+    from samnerf_tpu.utils.synthetic import write_textured_scene
+
+    scene = write_textured_scene(Path("/tmp/tps_scene"), num_train=24,
+                                 num_test=2, h=256, w=256,
+                                 with_features=True)
+    preset = method_configs()["samnerf_distill"]
+    model_cfg = dataclasses.replace(
+        preset.model, log2_hashmap_size=args.log2,
+        hashgrid_sizes=(args.log2, args.log2),
+        proposal_net_args=tuple({**a, "log2_hashmap_size": args.plog2}
+                                for a in preset.model.proposal_net_args),
+        num_images=24, hash_fn=args.hash_fn, use_remat=args.remat)
+    dm = DataManager(DataManagerConfig(
+        dataparser=DataparserConfig(data=scene, train_val_json_split=True),
+        train_num_rays_per_batch=args.rays,
+        patch_size=preset.model.patch_size,
+        distill_sam=True, use_clipseg_feature=True))
+    trainer = Trainer(model_cfg,
+                      TrainerConfig(max_num_iterations=args.steps,
+                                    steps_per_save=10 ** 9,
+                                    steps_per_eval_batch=10 ** 9,
+                                    steps_per_eval_image=10 ** 9,
+                                    output_dir=Path("/tmp/tps_runs"),
+                                    log_every=max(args.steps // 4, 1)),
+                      preset.optimizers, dm)
+    # warmup dispatch(es) compile; then time the steady state
+    t0 = time.time()
+    trainer.train()
+    total = time.time() - t0
+    print(f"total {total:.1f}s for {args.steps} steps x {args.rays} rays "
+          f"({args.steps * args.rays / total:.0f} rays/s incl. compile)")
+    # steady state = the trainer's own in-loop rays/s print (its warmup
+    # window excludes the compile dispatch).  Do NOT re-run the trainer
+    # for a "hot" timing: a second identical run replays through the
+    # axon tunnel's content cache and reports fantasy rates (measured
+    # 72k "rays/s" vs the real 14.5k).
+    if trainer.metrics_history:
+        step, _ = trainer.metrics_history[-1]
+        print("steady-state rate: see the last in-loop 'rays/s=' line "
+              "above; reference schedule wall = 10000*16384/rate")
+
+
+if __name__ == "__main__":
+    main()
