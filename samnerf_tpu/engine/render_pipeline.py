@@ -177,6 +177,58 @@ class SamNerfRenderer:
         self.occ, frac = bake_occupancy(self.renderer.model, params, **kw)
         return frac
 
+    def serve_frame_fn(self, sam, dec_params, height: int, width: int,
+                       max_points: int = 4):
+        """Device-resident interactive serving fast path.
+
+        Returns ``serve(params, cameras, cam_idx, click_xy) -> uint8
+        [H, W, 3] device array``: one pipelined dispatch renders the
+        view (rgb + SAM/ClipSeg feature grids via the fused frame fn),
+        decodes a mask from the click prompt on the RENDERED embedding
+        (the ``predictor.set_feature`` replacement flow,
+        ``samnerf/sam_model.py:486``) and composites the red overlay —
+        all on device; only the final uint8 frame crosses to the host.
+        This is the path ``bench.py`` measures, and the all-device
+        analogue of :meth:`render_view` (which round-trips through the
+        host for interactive prompt locking).
+        """
+        from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
+
+        H, W = height, width
+        renderer = self.renderer
+        feats = (("sam", "clipseg")
+                 if self.cfg.distill_sam and self.cfg.use_clipseg_feature
+                 else ("sam",) if self.cfg.distill_sam else ())
+
+        @jax.jit
+        def decode_and_compose(dec_params, frame, coords, labels):
+            low_res, _ = sam.apply(dec_params, frame["sam"][None],
+                                   (coords, labels), None, None, False,
+                                   method=Sam.decode_masks)
+            masks = postprocess_masks(low_res, (1024, 1024), (H, W),
+                                      sam.image_encoder.img_size)
+            mask = masks[0, 0] > 0.0
+            rgb = frame["rgb"]
+            overlay = jnp.where(
+                mask[..., None],
+                0.5 * rgb + 0.5 * jnp.asarray([1.0, 0.0, 0.0]), rgb)
+            return (jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        def serve(params, cameras, cam_idx, click_xy):
+            frame = renderer.render_image_device(params, cameras, cam_idx,
+                                                 W, H, features=feats,
+                                                 occ=self.occ)
+            # click -> 1024-frame coords (ResizeLongestSide convention)
+            scale = 1024.0 / max(H, W)
+            pts = np.zeros((1, max_points, 2), np.float32)
+            pts[0, 0] = [click_xy[0] * scale, click_xy[1] * scale]
+            labels = np.full((1, max_points), -1, np.int32)
+            labels[0, 0] = 1
+            return decode_and_compose(dec_params, frame,
+                                      jnp.asarray(pts), jnp.asarray(labels))
+
+        return serve
+
     def render_view(self, params, cameras: Cameras, camera_index: int,
                     intrin: np.ndarray, c2w: np.ndarray,
                     points: Optional[np.ndarray] = None,

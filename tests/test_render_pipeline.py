@@ -61,3 +61,43 @@ def test_draw_pins():
     assert out[6, 5, 0] == 1.0 and out[6, 5, 1] == 0.0
     assert out[0, 31, 0] == 1.0  # clipped at border without error
     assert img.sum() == 0  # input untouched
+
+
+def test_serve_frame_fn_device_fast_path():
+    """The bench.py serving path is a SamNerfRenderer method: one call
+    renders + decodes + composites fully on device and returns uint8."""
+    import jax
+    import jax.numpy as jnp
+
+    from samnerf_tpu.core.cameras import Cameras
+    from samnerf_tpu.core.rays import RayBundle
+    from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
+    from samnerf_tpu.models.sam_model import SAMModel
+    from samnerf_tpu.perception.sam.build_sam import build_sam
+    from samnerf_tpu.perception.sam.sam import Sam
+
+    from test_model import TINY, make_bundle
+
+    model = SAMModel(TINY)
+    rb = make_bundle(16)
+    params = model.init(jax.random.PRNGKey(0), rb,
+                        rng=jax.random.PRNGKey(1), train=False,
+                        get_features=("sam", "clipseg"))
+    sam, _ = build_sam("vit_b")
+    feat0 = jnp.zeros((1, 64, 64, 256))
+    pts0 = (jnp.zeros((1, 4, 2)), -jnp.ones((1, 4), jnp.int32))
+    dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
+                          False, method=Sam.decode_masks)
+
+    h = w = 64
+    cams = Cameras(camera_to_worlds=jnp.eye(4)[None, :3, :4],
+                   fx=jnp.asarray([[40.0]]), fy=jnp.asarray([[40.0]]),
+                   cx=jnp.asarray([[w / 2.0]]), cy=jnp.asarray([[h / 2.0]]),
+                   width=w, height=h)
+    snr = SamNerfRenderer(model, chunk=1024)
+    serve = snr.serve_frame_fn(sam, dec_params, h, w)
+    out = np.asarray(serve(params, cams, 0, (32.0, 32.0)))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    # deterministic for identical inputs
+    out2 = np.asarray(serve(params, cams, 0, (32.0, 32.0)))
+    np.testing.assert_array_equal(out, out2)
