@@ -61,12 +61,20 @@ def main():
                    pixel_area=jnp.ones((64, 1)) * 1e-6,
                    camera_indices=jnp.zeros((64, 1), jnp.int32))
     ckpt_dir = os.environ.get("BENCH_CKPT", "")
+    occ_frac = None
     if ckpt_dir:
         # serve a TRAINED checkpoint (BENCH_CKPT=<run dir with config.json>)
+        # with the full serve-mode config: int8 tables + baked occupancy
+        # culling + early ray termination (BENCH_ET eps, BENCH_OCC=0 off)
+        import dataclasses
+
         from samnerf_tpu.utils.eval_utils import eval_setup
         trainer, _ = eval_setup(ckpt_dir)
         params = trainer.state.params
-        model = trainer.model
+        et = float(os.environ.get("BENCH_ET", "1e-3"))
+        model = SAMModel(dataclasses.replace(
+            trainer.model.config, hash_q8_serve=True,
+            serve_transmittance_eps=et))
     else:
         # random init: frame compute is weight-independent, so FPS is
         # identical to a trained checkpoint's (verified via BENCH_CKPT)
@@ -88,6 +96,11 @@ def main():
     from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
     snr = SamNerfRenderer(model, chunk=1 << 15)
     snr.renderer.fuse_features = not os.environ.get("BENCH_NO_FUSE")
+    if ckpt_dir and os.environ.get("BENCH_OCC", "1") == "1":
+        t0 = time.time()
+        occ_frac = snr.bake_occupancy(params)
+        print(f"occupancy baked: {occ_frac:.3f} occupied "
+              f"({time.time()-t0:.0f}s)", flush=True)
     serve = snr.serve_frame_fn(sam, dec_params, H, W)
 
     def serve_frame(click_xy, cam):
@@ -137,15 +150,23 @@ def main():
     except Exception:
         factor, scaling = 7.5, None
 
+    extra = {}
+    if ckpt_dir:
+        extra["trained_ckpt"] = ckpt_dir
+        extra["occupied_frac"] = (round(occ_frac, 4)
+                                  if occ_frac is not None else "off")
+        extra["early_termination_eps"] = model.config.serve_transmittance_eps
     print(json.dumps({
         "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
+        **extra,
         "unit": "frames/s (512^2 render + SAM mask decode + overlay, 1 chip, "
                 "REFERENCE-capacity 2^19/2^17 hash tables, int8 serve "
                 "tables, morton hash)",
         "vs_baseline": round(fps / 3.75, 4),
-        "tables": f"2^{cfg.log2_hashmap_size} fields / "
-                  f"2^{cfg.proposal_net_args[0]['log2_hashmap_size']} props",
+        "tables": f"2^{model.config.log2_hashmap_size} fields / "
+                  f"2^{model.config.proposal_net_args[0]['log2_hashmap_size']}"
+                  " props",
         "sharded_v5e8_fps_extrapolated": round(fps * factor, 2),
         "extrapolation_factor": {
             "value": factor,

@@ -180,6 +180,7 @@ def _fused_feature_eval(model, params, cameras, cam_idx, w_flat, mid_flat,
     wc = wk.reshape(-1, rays_per_call, k_top, 1)
     res = jax.lax.map(
         lambda ab: model.apply(params, ab[0], ab[1], get_features,
+                               cull=True,
                                method=SAMModel.features_from_topk),
         (posc, wc))
     return {k: v.reshape(-1, v.shape[-1]) for k, v in res.items()}

@@ -28,6 +28,14 @@ consecutive depths — spatially tight, so it touches very few morton
 regions (= table slabs the v4 kernel skips).  Env-overridable for A/B
 runs (0 = plain sample-major)."""
 
+_LIVE_TO_KERNEL = _os.environ.get("SAMNERF_LIVE_KERNEL", "0") == "1"
+"""Forward the serve-time cull mask into the hash kernels (which routes
+them onto the v4 prefetch-gather path with whole-tile skips).  Default
+off: culled samples get SENTINEL positions instead, which the default v2
+scan kernel's per-tile touched-slab skip already exploits without the
+v4 path's touched-slab-id prepass (measured slower at low cull
+fractions, commit 5dfcec0).  Env knob for A/B on trained scenes."""
+
 
 def _flatten_sample_major(p, block=None):
     block = SAMPLE_BLOCK if block is None else block
@@ -57,13 +65,14 @@ def _flatten_sample_major(p, block=None):
             return jnp.swapaxes(hh, -2, -3).reshape(*lead, r, s,
                                                     h.shape[-1])
 
-        flat = jnp.swapaxes(p.reshape(*lead, nb, block, s, 3), -2, -3)
-        return flat.reshape(-1, 3), unflatten
+        c = p.shape[-1]
+        flat = jnp.swapaxes(p.reshape(*lead, nb, block, s, c), -2, -3)
+        return flat.reshape(-1, c), unflatten
 
     def unflatten(h):
         return jnp.swapaxes(h.reshape(*lead, s, r, h.shape[-1]), -2, -3)
 
-    return jnp.swapaxes(p, -2, -3).reshape(-1, 3), unflatten
+    return jnp.swapaxes(p, -2, -3).reshape(-1, p.shape[-1]), unflatten
 
 
 def _contract_and_select(positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -119,17 +128,30 @@ class NerfactoField(nn.Module):
             self.embedding_appearance = nn.Embed(
                 self.num_images, self.appearance_embedding_dim)
 
-    def get_density(self, positions: jax.Array,
-                    occ=None) -> Tuple[jax.Array, jax.Array]:
-        """[R, S, 3] -> (density [R, S, 1], geo_feat [R, S, geo])."""
+    def get_density(self, positions: jax.Array, occ=None,
+                    live_in: Optional[jax.Array] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """[R, S, 3] -> (density [R, S, 1], geo_feat [R, S, geo]).
+
+        live_in: optional [R, S, 1] 0/1 serve-time cull mask (early ray
+        termination, ``SAMModelConfig.serve_transmittance_eps``); ANDed
+        with the occupancy lookup.  Culled samples get sentinel positions
+        (the v2 kernel's per-tile slab skip then avoids their table
+        scans) and exactly zero density.
+        """
         p, selector = _contract_and_select(positions)
         flat, unflatten = _flatten_sample_major(p)
         live = None
+        if live_in is not None:
+            live, _ = _flatten_sample_major(live_in)          # [N, 1]
         if occ is not None and self.occ_res:
             from samnerf_tpu.ops.occupancy import occupancy_live
-            live = occupancy_live(occ, flat, self.occ_res)    # [N, 1]
+            lo = occupancy_live(occ, flat, self.occ_res)      # [N, 1]
+            live = lo if live is None else live * lo
+        if live is not None:
             flat = jnp.where(live > 0, flat, 0.5)
-        h = unflatten(self.mlp_base(self.encoding(flat, live=live)))
+        h = unflatten(self.mlp_base(self.encoding(
+            flat, live=live if _LIVE_TO_KERNEL else None)))
         density_raw, geo = h[..., :1], h[..., 1:]
         density = trunc_exp(density_raw) * selector[..., None]
         if live is not None:
@@ -144,14 +166,17 @@ class NerfactoField(nn.Module):
 
     def __call__(self, positions: jax.Array, directions: jax.Array,
                  camera_indices: Optional[jax.Array] = None,
-                 train: bool = True, occ=None) -> dict:
+                 train: bool = True, occ=None,
+                 live_in: Optional[jax.Array] = None) -> dict:
         """Full field eval.
 
         Args:
             positions: [R, S, 3]; directions: [R, 3] unit (per ray);
-            camera_indices: [R, 1] int32 (appearance embedding only).
+            camera_indices: [R, 1] int32 (appearance embedding only);
+            live_in: optional [R, S, 1] serve-time cull mask
+                (see :meth:`get_density`).
         """
-        density, geo = self.get_density(positions, occ)
+        density, geo = self.get_density(positions, occ, live_in)
         num_samples = positions.shape[-2]
         d_enc = sh_encoding(directions)  # [R, 16]
         d_enc = jnp.broadcast_to(d_enc[..., None, :],
@@ -205,7 +230,7 @@ class HashMLPDensityField(nn.Module):
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
             quantize_serve=self.hash_q8, hash_fn=self.hash_fn)(
-                flat, live=live)
+                flat, live=live if _LIVE_TO_KERNEL else None)
         if self.use_linear:
             raw = nn.Dense(1)(enc)
         else:

@@ -63,24 +63,41 @@ class SAMField(nn.Module):
                                    compute_dtype=self.compute_dtype)
 
     def __call__(self, positions: jax.Array,
-                 get_features: Sequence[str] = ("sam", "clipseg")) -> dict:
+                 get_features: Sequence[str] = ("sam", "clipseg"),
+                 live: jax.Array | None = None) -> dict:
         """positions [R, K, 3] (world) -> dict of [R, K, C] features.
 
         Positions are contracted + detached here, exactly as the reference
         detaches them (``sam_field.py:116-118``).
+
+        live: optional [R, K, 1] 0/1 serve-time cull mask (samples whose
+        rendering weight is exactly zero): culled samples get sentinel
+        positions so the hash kernels' per-tile slab skip avoids their
+        table scans.  Outputs at culled samples are unspecified — callers
+        multiply by the zero weights, so the weighted feature mean is
+        EXACT.
         """
-        from samnerf_tpu.fields.nerfacto_field import _flatten_sample_major
+        from samnerf_tpu.fields.nerfacto_field import (_LIVE_TO_KERNEL,
+                                                       _flatten_sample_major)
         p = contract_to_unit(jax.lax.stop_gradient(positions))
         flat, unflatten = _flatten_sample_major(p)
+        live_flat = None
+        if live is not None:
+            live_flat, _ = _flatten_sample_major(live)
+            flat = jnp.where(live_flat > 0, flat, 0.5)
+            if not _LIVE_TO_KERNEL:
+                live_flat = None
         out = {}
         if "sam" in get_features or ("dino" in get_features and self.use_dino):
-            x = jnp.concatenate([e(flat) for e in self.sam_encs], axis=-1)
+            x = jnp.concatenate([e(flat, live=live_flat)
+                                 for e in self.sam_encs], axis=-1)
             if "sam" in get_features:
                 out["sam"] = unflatten(self.sam_net(x))
             if "dino" in get_features and self.use_dino:
                 out["dino"] = unflatten(self.dino_net(x))
         if "clipseg" in get_features and self.use_clipseg:
-            xc = jnp.concatenate([e(flat) for e in self.clipseg_encs], axis=-1)
+            xc = jnp.concatenate([e(flat, live=live_flat)
+                                  for e in self.clipseg_encs], axis=-1)
             out["clipseg"] = unflatten(self.clipseg_net(xc))
         return out
 

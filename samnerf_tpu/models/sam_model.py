@@ -87,6 +87,17 @@ class SAMModelConfig:
     """Serve-time int8 hash tables (ParityHashEncoding.quantize_serve):
     ~2x faster table scans at view time; training instances must leave
     this False (gradients to the tables are stopped in q8 mode)."""
+    serve_transmittance_eps: float = 0.0
+    """Serve-time early ray termination (eval mode only; 0 disables).
+    Nerf-field samples whose estimated transmittance — from the last
+    proposal level's weights, which the interlevel loss trains to upper-
+    bound the nerf weights — has fallen below this epsilon are culled:
+    their position becomes a sentinel (so whole hash-kernel tiles behind
+    surfaces skip their table scans) and their density is zeroed.  The
+    dropped contribution is bounded by eps per ray.  The reference
+    evaluates every sample at view time (``samnerf/sam_model.py:358-418``);
+    this is the GPU early-termination analogue re-shaped for dense TPU
+    batches.  Training is never affected."""
     hash_fn: str = "reference"
     """"reference" or "morton" (locality-preserving hash; coherent eval
     tiles skip untouched table slabs).  Train and serve must agree."""
@@ -186,9 +197,24 @@ class SAMModel(nn.Module):
             stratified=train, single_jitter=cfg.use_single_jitter,
             anneal=anneal, proposal_grad=proposal_grad)
 
+        live_et = None
+        if not train and cfg.serve_transmittance_eps > 0.0:
+            # Early termination: estimated transmittance at each nerf
+            # sample from the last proposal level's weights (w_i = a_i*T_i
+            # => T before bin j = 1 - sum_{i<j} w_i).  A proposal bin
+            # counts as "passed" when it ends before the sample's mid.
+            pw = weights_list[-1][..., 0]                       # [R, P]
+            pend = ray_samples_list[-1].ends[..., 0]            # [R, P]
+            tmid = (ray_samples.starts + ray_samples.ends)[..., 0] * 0.5
+            passed = (pend[:, None, :] <= tmid[:, :, None])     # [R, S, P]
+            t_est = 1.0 - jnp.sum(jnp.where(passed, pw[:, None, :], 0.0), -1)
+            live_et = (t_est > cfg.serve_transmittance_eps).astype(
+                jnp.float32)[..., None]                          # [R, S, 1]
+
         # positional call: train / get_features are remat static_argnums
         field_out = self.fields(ray_samples.positions(), ray_samples.directions,
-                                ray_samples.camera_indices, train, occupancy)
+                                ray_samples.camera_indices, train, occupancy,
+                                live_et)
         weights = ray_samples.get_weights(field_out["density"])
         weights_list = list(weights_list) + [weights]
         ray_samples_list = list(ray_samples_list) + [ray_samples]
@@ -227,11 +253,12 @@ class SAMModel(nn.Module):
             if len(get_features) > 0:
                 outputs.update(self.features_from_topk(
                     sam_samples.positions(), sam_weights,
-                    tuple(get_features)))
+                    tuple(get_features), cull=not train))
         return outputs
 
     def features_from_topk(self, positions: jax.Array, weights: jax.Array,
-                           get_features: Sequence[str]) -> Dict[str, Any]:
+                           get_features: Sequence[str],
+                           cull: bool = False) -> Dict[str, Any]:
         """Render distilled features at pre-selected top-k samples.
 
         The second half of the reference's feature render
@@ -244,10 +271,15 @@ class SAMModel(nn.Module):
         Args:
             positions: [R, K, 3] world-space sample positions.
             weights: [R, K, 1] sharpened (already normalized) weights.
+            cull: serve-only — samples with exactly zero weight (empty
+                space / early-terminated) skip the SAM-field table scans
+                via sentinel positions; the weighted mean is unchanged
+                (0-weight features contribute nothing either way).
         """
         cfg = self.config
         out: Dict[str, Any] = {}
-        feats = self.sam_field(positions, tuple(get_features))
+        live = (weights > 0.0).astype(jnp.float32) if cull else None
+        feats = self.sam_field(positions, tuple(get_features), live)
         if "sam" in feats:
             sam_render = render_ops.render_mean(feats["sam"], weights)
             if cfg.patch_size > 1:

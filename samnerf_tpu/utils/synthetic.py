@@ -69,7 +69,41 @@ _SPHERES = (  # center, radius, (color_a, color_b), texture frequency
 )
 
 
-def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w, detail=1.0):
+def _smooth_octaves(u, v, detail, octaves=4, base=3.0):
+    """Multi-octave smooth value texture in [0,1]: sums of sin products
+    at geometrically increasing frequencies.  CONTINUOUS (no binary
+    edges), so reconstruction error tracks hash-table capacity instead of
+    being dominated by step discontinuities no capacity can resolve."""
+    out = np.zeros_like(u)
+    amp, norm = 1.0, 0.0
+    for o in range(octaves):
+        f = base * detail * (2.0 ** o)
+        out = out + amp * np.sin(f * u + 1.7 * o) * np.sin(f * v - 0.9 * o)
+        norm += amp
+        amp *= 0.55
+    return 0.5 + 0.5 * out / norm
+
+
+def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w, detail=1.0,
+                             smooth_texture=False, supersample=1):
+    """See :func:`_render_gt_image_textured_impl`; ``supersample`` renders
+    at an integer multiple and box-downsamples (anti-aliased ground truth
+    — otherwise sub-pixel edge error floors PSNR identically at every
+    capacity)."""
+    if supersample > 1:
+        s = supersample
+        img, hit = _render_gt_image_textured_impl(
+            c2w, fx * s, fy * s, cx * s, cy * s, h * s, w * s, detail,
+            smooth_texture)
+        img = img.astype(np.float32).reshape(h, s, w, s, 3).mean((1, 3))
+        hit = hit.reshape(h, s, w, s).mean((1, 3)) > 0.5
+        return img.round().astype(np.uint8), hit
+    return _render_gt_image_textured_impl(c2w, fx, fy, cx, cy, h, w,
+                                          detail, smooth_texture)
+
+
+def _render_gt_image_textured_impl(c2w, fx, fy, cx, cy, h, w, detail=1.0,
+                                   smooth_texture=False):
     """Analytic render of a structured scene: three procedurally-textured
     spheres on a checkerboard ground plane with a gradient sky.  Harder
     quality fixture than the single flat ball (fine texture exercises the
@@ -94,10 +128,15 @@ def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w, detail=1.0):
     pz = origins + tz[:, None] * dirs
     in_plane = (tz > 0) & (np.abs(pz[:, 0]) < 1.6) & (np.abs(pz[:, 1]) < 1.6)
     cf = 3 * detail
-    checker = ((np.floor(pz[:, 0] * cf) + np.floor(pz[:, 1] * cf)) % 2)
-    plane_col = np.where(checker[:, None] > 0.5,
-                         np.array([0.85, 0.85, 0.8])[None],
-                         np.array([0.25, 0.22, 0.2])[None])
+    if smooth_texture:
+        tex = _smooth_octaves(pz[:, 0], pz[:, 1], detail)[:, None]
+        plane_col = (tex * np.array([0.85, 0.85, 0.8])[None]
+                     + (1 - tex) * np.array([0.25, 0.22, 0.2])[None])
+    else:
+        checker = ((np.floor(pz[:, 0] * cf) + np.floor(pz[:, 1] * cf)) % 2)
+        plane_col = np.where(checker[:, None] > 0.5,
+                             np.array([0.85, 0.85, 0.8])[None],
+                             np.array([0.25, 0.22, 0.2])[None])
     use = in_plane & (tz < best_t)
     img = np.where(use[:, None], plane_col, img)
     best_t = np.where(use, tz, best_t)
@@ -108,9 +147,14 @@ def render_gt_image_textured(c2w, fx, fy, cx, cy, h, w, detail=1.0):
         p = origins + t[:, None] * dirs - center
         theta = np.arctan2(p[:, 1], p[:, 0])
         phi = np.arccos(np.clip(p[:, 2] / rad, -1, 1))
-        stripe = (np.sin(freq * detail * theta)
-                  * np.sin(freq * detail * phi)) > 0
-        col = np.where(stripe[:, None], ca[None], cb[None])
+        if smooth_texture:
+            tex = _smooth_octaves(theta * rad, phi * rad,
+                                  detail * freq / 3.0)[:, None]
+            col = tex * ca[None] + (1 - tex) * cb[None]
+        else:
+            stripe = (np.sin(freq * detail * theta)
+                      * np.sin(freq * detail * phi)) > 0
+            col = np.where(stripe[:, None], ca[None], cb[None])
         # simple lambertian shading from a fixed light
         light = np.array([0.5, -0.7, 0.9])
         light = light / np.linalg.norm(light)
@@ -132,7 +176,9 @@ def write_textured_scene(out_dir: Path, num_train: int = 24,
                          radius: float = 2.2,
                          with_features: bool = False,
                          feature_long_side: int = 16,
-                         detail: float = 1.0) -> Path:
+                         detail: float = 1.0,
+                         smooth_texture: bool = False,
+                         supersample: int = 1) -> Path:
     """Write the structured textured scene in samnerf layout (two camera
     rings at different elevations for better coverage)."""
     from PIL import Image
@@ -151,7 +197,9 @@ def write_textured_scene(out_dir: Path, num_train: int = 24,
         pos = np.array([radius * np.cos(ang), radius * np.sin(ang), elev])
         c2w = look_at_c2w(pos, np.array([0.0, 0.0, 0.25]))
         img, hit = render_gt_image_textured(c2w, fx, fy, cx, cy, h, w,
-                                            detail=detail)
+                                            detail=detail,
+                                            smooth_texture=smooth_texture,
+                                            supersample=supersample)
         name = f"frame_{i:05d}.png"
         Image.fromarray(img).save(out_dir / "images" / name)
         frames.append({"file_path": f"images/{name}",

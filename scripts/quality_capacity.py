@@ -34,19 +34,24 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         proposal_net_args=tuple({**a, "log2_hashmap_size": prop_log2}
                                 for a in preset.model.proposal_net_args),
         num_images=args_views, hash_fn=hash_fn)
-    dm = DataManager(DataManagerConfig(
+    dm_cfg = DataManagerConfig(
         dataparser=DataparserConfig(data=scene, train_val_json_split=True),
         train_num_rays_per_batch=rays_per_batch,
         patch_size=preset.model.patch_size,
-        distill_sam=True, use_clipseg_feature=True))
+        distill_sam=True, use_clipseg_feature=True)
+    dm = DataManager(dm_cfg)
     t0 = time.time()
-    trainer = Trainer(model_cfg,
-                      TrainerConfig(max_num_iterations=steps,
-                                    steps_per_save=10 ** 9,
-                                    steps_per_eval_batch=10 ** 9,
-                                    output_dir=Path("/tmp/qruns"),
-                                    log_every=max(steps // 4, 1)),
-                      preset.optimizers, dm)
+    trainer_cfg = TrainerConfig(
+        max_num_iterations=steps, steps_per_save=10 ** 9,
+        steps_per_eval_batch=10 ** 9,
+        output_dir=Path(f"/tmp/qruns/{log2_size}-{hash_fn}-{steps}"),
+        log_every=max(steps // 4, 1))
+    trainer = Trainer(model_cfg, trainer_cfg, preset.optimizers, dm)
+    # persist a servable run dir (config.json + final ckpt): eval_setup /
+    # BENCH_CKPT can then re-serve any quality-study checkpoint
+    from samnerf_tpu.train import save_config
+    save_config(dataclasses.replace(
+        preset, model=model_cfg, trainer=trainer_cfg, datamanager=dm_cfg))
     trainer.train()
     train_s = time.time() - t0
     m = compute_eval_metrics(trainer, max_images=4)
@@ -106,13 +111,20 @@ def main():
     ap.add_argument("--capacities", default="15:13,17:15,19:17",
                     help="comma list of fieldlog2:proplog2 rows")
     ap.add_argument("--out", default="docs/QUALITY.md")
+    ap.add_argument("--smooth-texture", action="store_true",
+                    help="continuous multi-octave texture + 2x supersampled"
+                         " (anti-aliased) ground truth: reconstruction "
+                         "error tracks table capacity instead of being "
+                         "floored by binary step edges")
     args = ap.parse_args()
 
     from samnerf_tpu.utils.synthetic import write_textured_scene
     scene = write_textured_scene(Path("/tmp/qscene"),
                                  num_train=args.views,
                                  num_test=4, h=args.res, w=args.res,
-                                 with_features=True, detail=args.detail)
+                                 with_features=True, detail=args.detail,
+                                 smooth_texture=args.smooth_texture,
+                                 supersample=2 if args.smooth_texture else 1)
     rows = []
     caps = [tuple(int(x) for x in c.split(":"))
             for c in args.capacities.split(",")]
@@ -129,8 +141,10 @@ def main():
         "# Quality vs hash-table capacity",
         "",
         "Structured textured synthetic scene (3 procedurally-textured",
-        "spheres + checkerboard ground, `synthetic.write_textured_scene`,",
-        f"texture detail x{args.detail:g}),",
+        "spheres + textured ground, `synthetic.write_textured_scene`,",
+        f"texture detail x{args.detail:g}"
+        + (", smooth multi-octave texture, 2x-supersampled GT),"
+           if args.smooth_texture else ", binary checker/stripe texture),"),
         f"{args.views} train / 4 test views at {args.res}x{args.res}, "
         f"{args.steps} steps of",
         f"`samnerf_distill` ({args.rays} rays/step) on one v5e chip.",

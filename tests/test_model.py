@@ -97,3 +97,42 @@ def test_anneal_and_gate_schedules():
     assert float(g_skip) == 0.0
     g_due = proposal_grad_gate(TINY, jnp.asarray(6000), jnp.asarray(6))
     assert float(g_due) == 1.0
+
+
+def test_serve_early_termination():
+    """serve_transmittance_eps culls only eps-bounded contributions:
+    a huge eps blanks far samples; a tiny eps reproduces the exact
+    render; train mode is never affected by the config."""
+    import dataclasses
+
+    model = SAMModel(TINY)
+    rb = make_bundle(16)
+    params = model.init(jax.random.PRNGKey(0), rb,
+                        rng=jax.random.PRNGKey(1), train=True,
+                        get_features=("sam", "clipseg"))
+
+    base = model.apply(params, rb, train=False,
+                       get_features=("sam", "clipseg"))
+
+    et_tiny = SAMModel(dataclasses.replace(
+        TINY, serve_transmittance_eps=1e-12))
+    out = et_tiny.apply(params, rb, train=False,
+                        get_features=("sam", "clipseg"))
+    # estimated transmittance stays ~1 on a random-init field (densities
+    # tiny), so nothing is culled and the render is bitwise-identical
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(base["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["sam"]),
+                               np.asarray(base["sam"]), atol=1e-5)
+
+    et_all = SAMModel(dataclasses.replace(
+        TINY, serve_transmittance_eps=1.1))   # T<=1 < eps: all culled
+    out2 = et_all.apply(params, rb, train=False,
+                        get_features=("sam", "clipseg"))
+    assert float(np.abs(np.asarray(out2["accumulation"])).max()) == 0.0
+
+    # train path ignores the knob entirely
+    tr_base = model.apply(params, rb, rng=jax.random.PRNGKey(2), train=True)
+    tr_et = et_all.apply(params, rb, rng=jax.random.PRNGKey(2), train=True)
+    np.testing.assert_allclose(np.asarray(tr_et["rgb"]),
+                               np.asarray(tr_base["rgb"]), atol=1e-6)
