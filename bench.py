@@ -30,14 +30,16 @@ def main():
     from samnerf_tpu.perception.sam.build_sam import sam_model_registry
     from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
 
-    H = W = 512
+    import os
+    # BENCH_RES exists for CPU smoke-testing the full bench path at tiny
+    # scale (the published number is always the 512 default on TPU)
+    H = W = int(os.environ.get("BENCH_RES", "512"))
     # serve-mode config: on-the-fly int8 tables (hash_q8_serve — pure
     # serving optimization, same trained f32 checkpoint) + the
     # locality-preserving hash (hash_fn="morton" — a train+serve mode
     # whose slab-skip makes coherent eval tiles cheap; quality parity
     # with the reference hash measured at 2^19 in docs/QUALITY_morton.md:
     # test PSNR 22.27 vs 22.28, SSIM 0.866 vs 0.869)
-    import os
     cfg = SAMModelConfig(distill_sam=True, use_clipseg_feature=True,
                          hash_q8_serve=True, hash_fn="morton",
                          compute_dtype=(jnp.bfloat16
@@ -60,24 +62,61 @@ def main():
                    directions=jnp.asarray(d.astype(np.float32)),
                    pixel_area=jnp.ones((64, 1)) * 1e-6,
                    camera_indices=jnp.zeros((64, 1), jnp.int32))
+    import dataclasses
+
     ckpt_dir = os.environ.get("BENCH_CKPT", "")
+    train_steps = int(os.environ.get("BENCH_TRAIN", "500"))
     occ_frac = None
+    et = float(os.environ.get("BENCH_ET", "1e-3"))
+    trained = False
     if ckpt_dir:
         # serve a TRAINED checkpoint (BENCH_CKPT=<run dir with config.json>)
         # with the full serve-mode config: int8 tables + baked occupancy
         # culling + early ray termination (BENCH_ET eps, BENCH_OCC=0 off)
-        import dataclasses
-
         from samnerf_tpu.utils.eval_utils import eval_setup
         trainer, _ = eval_setup(ckpt_dir)
         params = trainer.state.params
-        et = float(os.environ.get("BENCH_ET", "1e-3"))
         model = SAMModel(dataclasses.replace(
             trainer.model.config, hash_q8_serve=True,
             serve_transmittance_eps=et))
+        trained = True
+    elif train_steps > 0:
+        # Default: SHORT full-capacity training run on the synthetic
+        # textured scene so the published FPS is a *trained* scene's —
+        # occupancy culling + early termination only bite on real
+        # emptiness/surfaces (random-init density culls nothing).
+        # BENCH_TRAIN=0 restores the old random-init compute-only mode.
+        import pathlib
+        import sys
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "scripts"))
+        from quality_capacity import train_and_eval
+
+        from samnerf_tpu.utils.synthetic import write_textured_scene
+        views = int(os.environ.get("BENCH_TRAIN_VIEWS", "24"))
+        scene = write_textured_scene(
+            pathlib.Path("/tmp/bench_train_scene"), num_train=views,
+            num_test=2, h=int(os.environ.get("BENCH_TRAIN_RES", "256")),
+            w=int(os.environ.get("BENCH_TRAIN_RES", "256")),
+            with_features=True, detail=4.0)
+        t0 = time.time()
+        print(f"training {train_steps} steps at reference capacity "
+              "(BENCH_TRAIN=0 skips)...", flush=True)
+        _, trainer = train_and_eval(
+            scene, int(os.environ.get("BENCH_LOG2", "19")),
+            int(os.environ.get("BENCH_PLOG2", "17")), train_steps,
+            int(os.environ.get("BENCH_TRAIN_RAYS", "8192")),
+            args_views=views, hash_fn=cfg.hash_fn,
+            return_trainer=True, skip_metrics=True)
+        print(f"trained in {time.time()-t0:.0f}s", flush=True)
+        params = trainer.state.params
+        model = SAMModel(dataclasses.replace(
+            trainer.model.config, hash_q8_serve=True,
+            serve_transmittance_eps=et))
+        trained = True
     else:
-        # random init: frame compute is weight-independent, so FPS is
-        # identical to a trained checkpoint's (verified via BENCH_CKPT)
+        # random init: frame compute is weight-independent but culling is
+        # inert (uniform near-zero density), so this understates the
+        # serve rate of any real scene
         params = jax.jit(lambda r, b: model.init(
             r, b, rng=r, train=True, get_features=("sam", "clipseg")))(
                 jax.random.PRNGKey(0), rb)
@@ -96,7 +135,7 @@ def main():
     from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
     snr = SamNerfRenderer(model, chunk=1 << 15)
     snr.renderer.fuse_features = not os.environ.get("BENCH_NO_FUSE")
-    if ckpt_dir and os.environ.get("BENCH_OCC", "1") == "1":
+    if trained and os.environ.get("BENCH_OCC", "1") == "1":
         t0 = time.time()
         occ_frac = snr.bake_occupancy(params)
         print(f"occupancy baked: {occ_frac:.3f} occupied "
@@ -151,8 +190,9 @@ def main():
         factor, scaling = 7.5, None
 
     extra = {}
-    if ckpt_dir:
-        extra["trained_ckpt"] = ckpt_dir
+    if trained:
+        extra["trained"] = (ckpt_dir or
+                            f"in-bench {train_steps}-step full-capacity run")
         extra["occupied_frac"] = (round(occ_frac, 4)
                                   if occ_frac is not None else "off")
         extra["early_termination_eps"] = model.config.serve_transmittance_eps

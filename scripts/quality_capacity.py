@@ -19,7 +19,7 @@ sys.path.insert(0, ".")
 
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
                    args_views=24, hash_fn="reference",
-                   return_trainer=False):
+                   return_trainer=False, skip_metrics=False):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -54,6 +54,8 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         preset, model=model_cfg, trainer=trainer_cfg, datamanager=dm_cfg))
     trainer.train()
     train_s = time.time() - t0
+    if skip_metrics:
+        return None, trainer
     m = compute_eval_metrics(trainer, max_images=4)
     m["train_s"] = round(train_s, 1)
     m["rays_per_s"] = round(steps * rays_per_batch / train_s)
@@ -164,7 +166,15 @@ def main():
                      f"{m['train_s']} | {m['rays_per_s']} |")
     lines += ["", f"(generated by scripts/quality_capacity.py, "
               f"steps={args.steps})"]
-    out.write_text("\n".join(lines) + "\n")
+    # preserve appended study sections (e.g. the closed-distillation-loop
+    # mIoU table from scripts/quality_distill_miou.py) across regenerations
+    tail = ""
+    if out.exists():
+        old = out.read_text()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = "\n" + old[idx + 1:]
+    out.write_text("\n".join(lines) + "\n" + tail)
     print(f"wrote {out}")
 
 
