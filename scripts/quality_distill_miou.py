@@ -47,8 +47,12 @@ def make_vit_features(scene: Path, seed: int = 0):
     x0 = sam.preprocess(jnp.asarray(
         tf.apply_image(im0), jnp.float32)[None])
     t0 = time.time()
+    # full-model init (encoder + prompt encoder + mask decoder): the
+    # decode phase below drives SamPredictor.predict with these params
     params = jax.jit(
-        lambda k, x: sam.init(k, x, method=sam.encode_image))(
+        lambda k, x: sam.init(
+            k, x, points=(jnp.zeros((1, 1, 2)),
+                          jnp.zeros((1, 1), jnp.int32))))(
             jax.random.PRNGKey(seed), x0)
     encode = jax.jit(lambda p, x: sam.apply(p, x, method=sam.encode_image))
     print(f"  vit-b init: {time.time()-t0:.0f}s", flush=True)
