@@ -106,7 +106,7 @@ def main():
             int(os.environ.get("BENCH_PLOG2", "17")), train_steps,
             int(os.environ.get("BENCH_TRAIN_RAYS", "8192")),
             args_views=views, hash_fn=cfg.hash_fn,
-            return_trainer=True, skip_metrics=True)
+            return_trainer=True, skip_metrics=True, persist_run=False)
         print(f"trained in {time.time()-t0:.0f}s", flush=True)
         params = trainer.state.params
         model = SAMModel(dataclasses.replace(

@@ -59,6 +59,12 @@ class TrainerConfig:
     steps_per_dispatch: int = 20
     """Training steps fused into one dispatch via lax.scan (amortizes
     host->device dispatch latency; metrics reported from the last step)."""
+    save_final: bool = True
+    """Save a checkpoint after the last step (the reference's behavior).
+    Disable for throwaway in-process runs (e.g. bench.py's in-bench
+    training) where the trained params are consumed live: at reference
+    capacity the params+opt_state fetch is hundreds of MB, which over a
+    remote-TPU tunnel (~9 MB/s measured) dominates the run."""
 
 
 def make_train_step(model: SAMModel, cfg: SAMModelConfig,
@@ -326,7 +332,7 @@ class Trainer:
         # always save final weights (reference saves after training completes;
         # round-1 advisor finding: final weights lost when max_num_iterations
         # is not a multiple of steps_per_save)
-        if last_saved != step:
+        if last_saved != step and self.cfg.save_final:
             self.save_checkpoint(step)
         writer.finalize()
         return self.state

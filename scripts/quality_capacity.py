@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
                    args_views=24, hash_fn="reference",
-                   return_trainer=False, skip_metrics=False):
+                   return_trainer=False, skip_metrics=False,
+                   persist_run=True):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -45,13 +46,17 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         max_num_iterations=steps, steps_per_save=10 ** 9,
         steps_per_eval_batch=10 ** 9,
         output_dir=Path(f"/tmp/qruns/{log2_size}-{hash_fn}-{steps}"),
-        log_every=max(steps // 4, 1))
+        log_every=max(steps // 4, 1), save_final=persist_run)
     trainer = Trainer(model_cfg, trainer_cfg, preset.optimizers, dm)
-    # persist a servable run dir (config.json + final ckpt): eval_setup /
-    # BENCH_CKPT can then re-serve any quality-study checkpoint
-    from samnerf_tpu.train import save_config
-    save_config(dataclasses.replace(
-        preset, model=model_cfg, trainer=trainer_cfg, datamanager=dm_cfg))
+    if persist_run:
+        # persist a servable run dir (config.json + final ckpt): eval_setup /
+        # BENCH_CKPT can then re-serve any quality-study checkpoint.
+        # persist_run=False skips this: at full capacity the final
+        # params+opt_state fetch is hundreds of MB over the ~9 MB/s TPU
+        # tunnel, which dwarfs the training itself for throwaway runs.
+        from samnerf_tpu.train import save_config
+        save_config(dataclasses.replace(
+            preset, model=model_cfg, trainer=trainer_cfg, datamanager=dm_cfg))
     trainer.train()
     train_s = time.time() - t0
     if skip_metrics:

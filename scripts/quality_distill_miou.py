@@ -123,7 +123,7 @@ def main():
           f"({args.steps} x {args.rays} rays)", flush=True)
     m, trainer = train_and_eval(scene, args.log2, args.plog2, args.steps,
                                 args.rays, args_views=args.views,
-                                return_trainer=True)
+                                return_trainer=True, persist_run=False)
     print(m, flush=True)
 
     import jax
