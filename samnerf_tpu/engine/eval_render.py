@@ -373,23 +373,14 @@ class ImageRenderer:
             return fn(*args)
 
 
-def bake_occupancy(model: SAMModel, params, res: int = 0,
-                   threshold: float = 0.01, sub: int = 2,
-                   chunk: int = 1 << 17):
-    """Bake a serve-time occupancy grid from a trained model.
-
-    The nerfacc-OccupancyGrid analogue for the samnerf serve path
-    (reference keeps proposal-only sampling at view time,
-    ``sam_model.py:358-418``; culling is a pure serving optimization):
-    evaluate the trained nerf field's density at ``sub^3`` stratified
-    points per cell of a ``res^3`` grid in contracted-unit space, take
-    the per-cell max, threshold, and pack (with a built-in one-cell
-    dilation) into a :class:`~samnerf_tpu.ops.occupancy.ServeOccupancy`
-    int8 table the fields can cull against.
-    """
-    from samnerf_tpu.ops.occupancy import (cells_from_density,
-                                           grid_cell_positions,
-                                           pack_serve_occupancy)
+def bake_density_grid(model: SAMModel, params, res: int = 0, sub: int = 2,
+                      chunk: int = 1 << 17) -> np.ndarray:
+    """Evaluate the trained nerf field's density at ``sub^3`` stratified
+    points per cell of a ``res^3`` grid in contracted-unit space and
+    max-pool per cell.  The expensive half of :func:`bake_occupancy`
+    (one full-capacity field sweep); thresholding/packing is cheap, so
+    threshold sweeps should reuse this grid."""
+    from samnerf_tpu.ops.occupancy import grid_cell_positions
 
     res = res or model.config.occ_res
     pts = jnp.asarray(grid_cell_positions(res, sub))
@@ -407,11 +398,35 @@ def bake_occupancy(model: SAMModel, params, res: int = 0,
                 method=lambda m, p: m.fields.density_at_unit(p)), pts)
 
     d = np.asarray(dens(params, pts)).reshape(-1)[:n]
-    cell_d = d.reshape(res ** 3, sub ** 3).max(axis=1).reshape(res, res, res)
-    cells = cells_from_density(jnp.asarray(cell_d), threshold)
-    occ = pack_serve_occupancy(np.asarray(cells))
-    frac = float(np.asarray(cells).mean())
-    return occ, frac
+    return d.reshape(res ** 3, sub ** 3).max(axis=1).reshape(res, res, res)
+
+
+def occupancy_from_cells(cell_d: np.ndarray, threshold: float = 0.01):
+    """Threshold + pack a baked density grid into a
+    :class:`~samnerf_tpu.ops.occupancy.ServeOccupancy`; returns
+    (occ, occupied_fraction)."""
+    from samnerf_tpu.ops.occupancy import (cells_from_density,
+                                           pack_serve_occupancy)
+    cells = np.asarray(cells_from_density(jnp.asarray(cell_d), threshold))
+    return pack_serve_occupancy(cells), float(cells.mean())
+
+
+def bake_occupancy(model: SAMModel, params, res: int = 0,
+                   threshold: float = 0.01, sub: int = 2,
+                   chunk: int = 1 << 17):
+    """Bake a serve-time occupancy grid from a trained model.
+
+    The nerfacc-OccupancyGrid analogue for the samnerf serve path
+    (reference keeps proposal-only sampling at view time,
+    ``sam_model.py:358-418``; culling is a pure serving optimization):
+    evaluate the trained nerf field's density on a ``res^3`` grid
+    (:func:`bake_density_grid`), threshold, and pack (with a built-in
+    one-cell dilation) into a
+    :class:`~samnerf_tpu.ops.occupancy.ServeOccupancy` table the fields
+    can cull against.
+    """
+    cell_d = bake_density_grid(model, params, res=res, sub=sub, chunk=chunk)
+    return occupancy_from_cells(cell_d, threshold)
 
 
 def build_sharded_frame_fn(renderer: ImageRenderer, mesh, h: int, w: int,

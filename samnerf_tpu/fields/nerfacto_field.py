@@ -145,8 +145,13 @@ class NerfactoField(nn.Module):
         if live_in is not None:
             live, _ = _flatten_sample_major(live_in)          # [N, 1]
         if occ is not None and self.occ_res:
-            from samnerf_tpu.ops.occupancy import occupancy_live
-            lo = occupancy_live(occ, flat, self.occ_res)      # [N, 1]
+            # per-TILE conservative AABB test, not per-point: a per-point
+            # lookup is one scalar-core gather per sample (~33M/frame at
+            # 512^2), which costs more than the culling saves; the tile
+            # test is one 8-corner mip probe per kernel tile and matches
+            # the dead-tile granularity the encode kernel skips at.
+            from samnerf_tpu.ops.occupancy import tile_live_points
+            lo = tile_live_points(occ, flat, self.occ_res)    # [N, 1]
             live = lo if live is None else live * lo
         if live is not None:
             flat = jnp.where(live > 0, flat, 0.5)
@@ -222,8 +227,8 @@ class HashMLPDensityField(nn.Module):
         flat, unflatten = _flatten_sample_major(p)
         live = None
         if occ is not None and self.occ_res:
-            from samnerf_tpu.ops.occupancy import occupancy_live
-            live = occupancy_live(occ, flat, self.occ_res)
+            from samnerf_tpu.ops.occupancy import tile_live_points
+            live = tile_live_points(occ, flat, self.occ_res)
             flat = jnp.where(live > 0, flat, 0.5)
         enc = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,

@@ -1,0 +1,180 @@
+"""Serve-path tuning sweep: train ONCE, then measure every culling lever.
+
+The round-2 verdict's top item is single-chip serve FPS at reference
+capacity.  The levers (baked occupancy culling, transmittance early
+termination) each add per-sample masking overhead, so whether they win
+depends on how much they actually cull — which depends on the bake
+threshold and how clean the trained density is.  This script separates
+those effects on one trained checkpoint:
+
+  A  et=0,    occ off      (pure fused serve path — the round-2 number)
+  B  et=eps,  occ off      (early termination alone)
+  C  et=0,    occ on       (occupancy alone, bake-threshold sweep)
+  D  et=eps,  occ on       (both, at the best C threshold)
+
+Threshold sweeps inside C/D reuse the compiled serve fn (the occupancy
+grid is data, not a shape).  Parity = PSNR between each config's uint8
+frame and A's at identical cameras/clicks (end-to-end: includes the
+decoded mask + overlay).
+
+Run on the real TPU:  python scripts/tune_serve.py [--steps 1000]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+
+def fps_measure(serve, params, cams, clicks, n=8):
+    """bench.py's pipelined timing: distinct camera+click per frame so
+    the axon tunnel's content cache can't replay."""
+    out = np.asarray(serve(params, cams(0), 0, clicks[0]))  # compile
+    np.asarray(serve(params, cams(1), 0, clicks[1]))
+    t0 = time.time()
+    pending = serve(params, cams(2), 0, clicks[2])
+    for i in range(1, n + 1):
+        nxt = serve(params, cams(2 + i), 0, clicks[2 + i]) if i < n else None
+        out = np.asarray(pending)
+        pending = nxt
+    return n / (time.time() - t0), out
+
+
+def psnr_u8(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(-10 * np.log10(max(mse, 1e-12) / 255.0 ** 2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--res", type=int, default=512, help="serve resolution")
+    ap.add_argument("--train-res", type=int, default=256)
+    ap.add_argument("--log2", type=int, default=19)
+    ap.add_argument("--plog2", type=int, default=17)
+    ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--thresholds", default="0.01,0.1,0.5,2.0,10.0")
+    ap.add_argument("--configs", default="A,B,C,D")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from samnerf_tpu.core.cameras import Cameras
+    from samnerf_tpu.engine.eval_render import (bake_density_grid,
+                                                occupancy_from_cells)
+    from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
+    from samnerf_tpu.models.sam_model import SAMModel
+    from samnerf_tpu.perception.sam.build_sam import sam_model_registry
+    from samnerf_tpu.perception.sam.sam import Sam
+    from samnerf_tpu.utils.synthetic import write_textured_scene
+    from quality_capacity import train_and_eval
+
+    H = W = args.res
+    scene = write_textured_scene(
+        Path("/tmp/bench_train_scene"), num_train=args.views, num_test=2,
+        h=args.train_res, w=args.train_res, with_features=True, detail=4.0)
+    t0 = time.time()
+    _, trainer = train_and_eval(
+        scene, args.log2, args.plog2, args.steps, args.rays,
+        args_views=args.views, hash_fn="morton", return_trainer=True,
+        skip_metrics=True, persist_run=False)
+    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
+    params = trainer.state.params
+    base_cfg = dataclasses.replace(trainer.model.config, hash_q8_serve=True)
+
+    sam, _ = sam_model_registry["vit_b"]()
+    feat0 = jnp.zeros((1, 64, 64, 256))
+    pts0 = (jnp.zeros((1, 4, 2)), -jnp.ones((1, 4), jnp.int32))
+    dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
+                          False, method=Sam.decode_masks)
+
+    def cams(i):
+        ang = 0.02 * i
+        c = np.eye(4)[:3, :4].astype(np.float32)
+        c[0, 3] = 1.5 * np.sin(ang)
+        c[2, 3] = 1.5 * np.cos(ang)
+        return Cameras(camera_to_worlds=jnp.asarray(c[None]),
+                       fx=jnp.asarray([[400.0]]), fy=jnp.asarray([[400.0]]),
+                       cx=jnp.asarray([[W / 2.0]]),
+                       cy=jnp.asarray([[H / 2.0]]), width=W, height=H)
+
+    clicks = [(200.0 + 3.0 * i, 256.0 - 2.0 * i) for i in range(32)]
+    results = []
+    ref_frame = {}
+
+    want = set(args.configs.split(","))
+    ths = [float(t) for t in args.thresholds.split(",")]
+
+    # ONE renderer per model config: occ is a traced jit argument (the
+    # frame fn caches per use_occ flag on the ImageRenderer instance), so
+    # A + the whole C threshold sweep share compiles; B/D (different
+    # serve_transmittance_eps => different graph) get their own renderer.
+    def make_snr(eps):
+        model = SAMModel(dataclasses.replace(
+            base_cfg, serve_transmittance_eps=eps))
+        snr = SamNerfRenderer(model, chunk=1 << 15)
+        return snr, snr.serve_frame_fn(sam, dec_params, H, W)
+
+    snr0 = serve0 = snr1 = serve1 = None
+    if want & {"A", "C"}:
+        snr0, serve0 = make_snr(0.0)
+    if want & {"B", "D"}:
+        snr1, serve1 = make_snr(args.eps)
+
+    def measure(tag, snr, serve, occ=None, **extra):
+        snr.occ = occ
+        fps, frame = fps_measure(serve, params, cams, clicks)
+        parity = (psnr_u8(frame, ref_frame["A"])
+                  if "A" in ref_frame and tag != "A" else float("inf"))
+        if tag == "A":
+            ref_frame["A"] = frame
+        row = {"config": tag, "fps": round(fps, 3),
+               "parity_psnr_vs_A": round(parity, 2), **extra}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        return fps, parity
+
+    if "A" in want:
+        measure("A", snr0, serve0, note="no culling")
+    if "B" in want:
+        measure("B", snr1, serve1, eps=args.eps,
+                note="early termination only")
+    baked = {}
+    best_th, best_fps = None, -1.0
+    cell_d = None
+    if want & {"C", "D"}:
+        t0 = time.time()
+        cell_d = bake_density_grid(trainer.model, params)
+        print(f"density grid baked in {time.time()-t0:.0f}s "
+              f"(max {float(cell_d.max()):.2f}, "
+              f"median {float(np.median(cell_d)):.4f})", flush=True)
+    if "C" in want:
+        for th in ths:
+            occ, frac = occupancy_from_cells(cell_d, th)
+            baked[th] = (occ, frac)
+            fps, parity = measure("C", snr0, serve0, occ=occ, threshold=th,
+                                  occupied=round(frac, 4))
+            if parity > 35.0 and fps > best_fps:
+                best_th, best_fps = th, fps
+    if "D" in want:
+        th = best_th if best_th is not None else ths[len(ths) // 2]
+        occ, frac = baked.get(th) or occupancy_from_cells(cell_d, th)
+        measure("D", snr1, serve1, occ=occ, threshold=th, eps=args.eps,
+                occupied=round(frac, 4))
+
+    print("=== sweep done ===")
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
