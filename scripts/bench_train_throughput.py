@@ -28,7 +28,11 @@ def main():
     ap.add_argument("--hash-fn", default="morton")
     ap.add_argument("--remat", action="store_true",
                     help="re-enable remat (default: off, measured faster)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute dtype (params/optimizer stay f32)")
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
@@ -45,7 +49,8 @@ def main():
         hashgrid_sizes=(args.log2, args.log2),
         proposal_net_args=tuple({**a, "log2_hashmap_size": args.plog2}
                                 for a in preset.model.proposal_net_args),
-        num_images=24, hash_fn=args.hash_fn, use_remat=args.remat)
+        num_images=24, hash_fn=args.hash_fn, use_remat=args.remat,
+        **({"compute_dtype": jnp.bfloat16} if args.bf16 else {}))
     dm = DataManager(DataManagerConfig(
         dataparser=DataparserConfig(data=scene, train_val_json_split=True),
         train_num_rays_per_batch=args.rays,

@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
                    args_views=24, hash_fn="reference",
                    return_trainer=False, skip_metrics=False,
-                   persist_run=True):
+                   persist_run=True, compute_dtype=None):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -34,7 +34,8 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         hashgrid_sizes=(log2_size, log2_size),
         proposal_net_args=tuple({**a, "log2_hashmap_size": prop_log2}
                                 for a in preset.model.proposal_net_args),
-        num_images=args_views, hash_fn=hash_fn)
+        num_images=args_views, hash_fn=hash_fn,
+        **({"compute_dtype": compute_dtype} if compute_dtype else {}))
     dm_cfg = DataManagerConfig(
         dataparser=DataparserConfig(data=scene, train_val_json_split=True),
         train_num_rays_per_batch=rays_per_batch,
