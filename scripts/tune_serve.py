@@ -11,6 +11,17 @@ those effects on one trained checkpoint:
   B  et=eps,  occ off      (early termination alone)
   C  et=0,    occ on       (occupancy alone, bake-threshold sweep)
   D  et=eps,  occ on       (both, at the best C threshold)
+  E  serve sample counts 16 nerf / 64 prop   (vs 32/64 at train)
+  F  serve sample counts 16 nerf / 32 prop
+  G  serve sample counts 24 nerf / 48 prop
+  H  chunk 2^16 (vs 2^15)
+
+E-G exploit that sample counts are *serve-time static config*, not
+part of the checkpoint: the PDF sampler already concentrates samples
+at surfaces, so fewer resampled points lose little (measured by parity
+PSNR vs A).  The round-3 sweep showed masking-based culling (B-D) is
+worthless — dead samples cost the same as live ones in the scan — so
+the lever is fewer points, not masked points.
 
 Threshold sweeps inside C/D reuse the compiled serve fn (the occupancy
 grid is data, not a shape).  Parity = PSNR between each config's uint8
@@ -63,6 +74,9 @@ def main():
     ap.add_argument("--eps", type=float, default=1e-3)
     ap.add_argument("--thresholds", default="0.01,0.1,0.5,2.0,10.0")
     ap.add_argument("--configs", default="A,B,C,D")
+    ap.add_argument("--ckpt", default="",
+                    help="run dir with config.json: load instead of "
+                         "training (e.g. /tmp/qruns/19-morton-1000)")
     args = ap.parse_args()
 
     import jax
@@ -79,15 +93,22 @@ def main():
     from quality_capacity import train_and_eval
 
     H = W = args.res
-    scene = write_textured_scene(
-        Path("/tmp/bench_train_scene"), num_train=args.views, num_test=2,
-        h=args.train_res, w=args.train_res, with_features=True, detail=4.0)
-    t0 = time.time()
-    _, trainer = train_and_eval(
-        scene, args.log2, args.plog2, args.steps, args.rays,
-        args_views=args.views, hash_fn="morton", return_trainer=True,
-        skip_metrics=True, persist_run=False)
-    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
+    if args.ckpt:
+        from samnerf_tpu.utils.eval_utils import eval_setup
+        trainer, _ = eval_setup(args.ckpt)
+        print(f"loaded checkpoint {args.ckpt}", flush=True)
+    else:
+        scene = write_textured_scene(
+            Path("/tmp/bench_train_scene"), num_train=args.views,
+            num_test=2, h=args.train_res, w=args.train_res,
+            with_features=True, detail=4.0)
+        t0 = time.time()
+        _, trainer = train_and_eval(
+            scene, args.log2, args.plog2, args.steps, args.rays,
+            args_views=args.views, hash_fn="morton", return_trainer=True,
+            skip_metrics=True, persist_run=False)
+        print(f"trained {args.steps} steps in {time.time()-t0:.0f}s",
+              flush=True)
     params = trainer.state.params
     base_cfg = dataclasses.replace(trainer.model.config, hash_q8_serve=True)
 
@@ -118,10 +139,19 @@ def main():
     # frame fn caches per use_occ flag on the ImageRenderer instance), so
     # A + the whole C threshold sweep share compiles; B/D (different
     # serve_transmittance_eps => different graph) get their own renderer.
-    def make_snr(eps):
-        model = SAMModel(dataclasses.replace(
-            base_cfg, serve_transmittance_eps=eps))
-        snr = SamNerfRenderer(model, chunk=1 << 15)
+    def make_snr(eps=0.0, nerf=0, props=0, k=0, chunk=1 << 15):
+        cfg = dataclasses.replace(base_cfg, serve_transmittance_eps=eps)
+        if nerf:
+            cfg = dataclasses.replace(cfg, num_nerf_samples_per_ray=nerf)
+        if k or nerf:
+            cfg = dataclasses.replace(
+                cfg, num_sam_samples=min(k or cfg.num_sam_samples,
+                                         cfg.num_nerf_samples_per_ray))
+        if props:
+            cfg = dataclasses.replace(
+                cfg, num_proposal_samples_per_ray=(props,))
+        model = SAMModel(cfg)
+        snr = SamNerfRenderer(model, chunk=chunk)
         return snr, snr.serve_frame_fn(sam, dec_params, H, W)
 
     snr0 = serve0 = snr1 = serve1 = None
@@ -170,6 +200,21 @@ def main():
         occ, frac = baked.get(th) or occupancy_from_cells(cell_d, th)
         measure("D", snr1, serve1, occ=occ, threshold=th, eps=args.eps,
                 occupied=round(frac, 4))
+    # serve-time sample-count reductions (graph changes: one compile each).
+    # k = SAM-field top-k at serve: training sharpens weights to T=10
+    # (w^10 renorm) so mass concentrates on the top 1-3 samples — serve
+    # k << train k=16 should be near-lossless.
+    for tag, nerf, props, k in (("E", 16, 0, 0), ("F", 16, 32, 0),
+                                ("G", 24, 48, 0), ("K8", 0, 0, 8),
+                                ("K4", 0, 0, 4), ("FK4", 16, 32, 4),
+                                ("FK8", 16, 32, 8)):
+        if tag in want:
+            snr_s, serve_s = make_snr(nerf=nerf, props=props, k=k)
+            measure(tag, snr_s, serve_s, nerf=nerf or 32, props=props or 64,
+                    k=k or 16, note="serve sample counts")
+    if "H" in want:
+        snr_h, serve_h = make_snr(chunk=1 << 16)
+        measure("H", snr_h, serve_h, note="chunk 2^16")
 
     print("=== sweep done ===")
     for r in results:
