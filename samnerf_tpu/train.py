@@ -98,7 +98,8 @@ def _launch_viewer(trainer, config: MethodConfig):
             points=(jnp.zeros((1, 1, 2)),
                     jnp.zeros((1, 1), jnp.int32))))(jax.random.PRNGKey(1))
     predictor = SamPredictor(sam, sam_params)
-    renderer = SamNerfRenderer(trainer.model, sam_predictor=predictor)
+    renderer = SamNerfRenderer(trainer.model, sam_predictor=predictor,
+                               serve_preset="static")
     cams = jax.tree.map(jnp.asarray, trainer.datamanager.cameras)
     state = ViewerState(renderer,
                         params_fn=lambda: trainer.state.params,

@@ -181,10 +181,14 @@ class RenderStateMachine(threading.Thread):
             threshold, topk = v.threshold, int(v.topk)
 
         t0 = time.time()
+        # moving camera -> reduced-sample "move" preset (the reference
+        # degrades resolution during motion, render_state_machine.py:321-359;
+        # on TPU halved sample counts compose with that)
+        preset = "move" if self.state == "low_move" else "static"
         with v.train_lock if v.train_lock is not None else _null():
             outputs = v.render_view(intrin, c2w, h, w, points=points,
                                     text_prompt=text_prompt, topk=topk,
-                                    thresh=threshold)
+                                    thresh=threshold, preset=preset)
         dt = max(time.time() - t0, 1e-6)
         self.render_times.append(dt)
         self.vis_rays_per_sec = 0.8 * self.vis_rays_per_sec + 0.2 * (h * w / dt)

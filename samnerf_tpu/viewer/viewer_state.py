@@ -144,7 +144,8 @@ class ViewerState:
 
     # --- model access for the render machine -------------------------------
     def render_view(self, intrin, c2w, h, w, points=None, text_prompt=None,
-                    topk=5, thresh=0.5) -> Dict[str, np.ndarray]:
+                    topk=5, thresh=0.5,
+                    preset="static") -> Dict[str, np.ndarray]:
         from samnerf_tpu.engine.render_pipeline import cameras_from_intrin_c2w
         cam = cameras_from_intrin_c2w(intrin, c2w, h, w)
         crop_aabb = crop_bg = None
@@ -154,7 +155,8 @@ class ViewerState:
         return self.renderer.render_view(
             self.params_fn(), cam, 0, intrin, c2w,
             points=points, text_prompt=text_prompt, topk=topk, thresh=thresh,
-            width=w, height=h, crop_aabb=crop_aabb, crop_bg=crop_bg)
+            width=w, height=h, crop_aabb=crop_aabb, crop_bg=crop_bg,
+            preset=preset)
 
     # --- handlers -----------------------------------------------------------
     def _handle_camera_update(self, msg: m.CameraMessage):

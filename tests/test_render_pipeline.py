@@ -101,3 +101,41 @@ def test_serve_frame_fn_device_fast_path():
     # deterministic for identical inputs
     out2 = np.asarray(serve(params, cams, 0, (32.0, 32.0)))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_serve_presets():
+    """serve_preset="static" trims SAM top-k and builds a halved-count
+    "move" renderer; sample counts are serve-time static config, so the
+    SAME params render through both (tune_serve.py round-3 sweep)."""
+    import jax
+
+    from samnerf_tpu.engine.render_pipeline import SamNerfRenderer, serve_model
+    from samnerf_tpu.models.sam_model import SAMModel
+
+    from test_model import TINY, make_bundle
+
+    model = SAMModel(TINY)  # TINY: nerf 8, props (8,), k 4
+    snr = SamNerfRenderer(model, chunk=256, serve_preset="static")
+    assert snr.cfg.num_sam_samples == min(8, TINY.num_sam_samples)
+    assert snr.cfg.num_nerf_samples_per_ray == TINY.num_nerf_samples_per_ray
+    move_cfg = snr._move_renderer.model.config
+    # presets only ever REDUCE counts: TINY trains 8 nerf samples < the
+    # move preset's 16, so 8 is kept
+    assert move_cfg.num_nerf_samples_per_ray == 8
+    assert move_cfg.num_proposal_samples_per_ray == (8,)
+    assert move_cfg.num_sam_samples == 4
+    assert snr._renderer_for("move") is snr._move_renderer
+    assert snr._renderer_for("static") is snr.renderer
+    # "full" preset: no move renderer, primary untouched
+    snr_full = SamNerfRenderer(model, chunk=256)
+    assert snr_full._move_renderer is None
+    assert snr_full._renderer_for("move") is snr_full.renderer
+    assert snr_full.cfg.num_sam_samples == TINY.num_sam_samples
+
+    # identical params render through a reduced-count serve model
+    rb = make_bundle(8)
+    params = model.init(jax.random.PRNGKey(0), rb, rng=jax.random.PRNGKey(1),
+                        train=False, get_features=())
+    small = serve_model(model, nerf=4, props=4, k=2)
+    out = small.apply(params, rb, train=False, get_features=())
+    assert np.isfinite(np.asarray(out["rgb"])).all()
