@@ -233,7 +233,7 @@ class SamNerfRenderer:
         return frac
 
     def serve_frame_fn(self, sam, dec_params, height: int, width: int,
-                       max_points: int = 4):
+                       max_points: int = 4, preset: str = "primary"):
         """Device-resident interactive serving fast path.
 
         Returns ``serve(params, cameras, cam_idx, click_xy) -> uint8
@@ -250,7 +250,7 @@ class SamNerfRenderer:
         from samnerf_tpu.perception.sam.sam import Sam, postprocess_masks
 
         H, W = height, width
-        renderer = self.renderer
+        renderer = self._renderer_for(preset)
         feats = (("sam", "clipseg")
                  if self.cfg.distill_sam and self.cfg.use_clipseg_feature
                  else ("sam",) if self.cfg.distill_sam else ())
