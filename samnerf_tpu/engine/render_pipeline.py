@@ -197,7 +197,7 @@ class SamNerfRenderer:
     #: (or on top of) resolution.
     SERVE_PRESETS = {"full": dict(),
                      "static": dict(k=8),
-                     "move": dict(nerf=16, props=32, k=4)}
+                     "move": dict(nerf=16, props=32, k=2)}
 
     def __init__(self, model: SAMModel, sam_predictor=None,
                  clipseg_predictor=None, lang_sam=None,
