@@ -61,6 +61,7 @@ def main():
                                     steps_per_save=10 ** 9,
                                     steps_per_eval_batch=10 ** 9,
                                     steps_per_eval_image=10 ** 9,
+                                    save_final=False,  # throwaway run
                                     output_dir=Path("/tmp/tps_runs"),
                                     log_every=max(args.steps // 4, 1)),
                       preset.optimizers, dm)
