@@ -123,7 +123,8 @@ def test_serve_presets():
     # move preset's 16, so 8 is kept
     assert move_cfg.num_nerf_samples_per_ray == 8
     assert move_cfg.num_proposal_samples_per_ray == (8,)
-    assert move_cfg.num_sam_samples == 4
+    assert (move_cfg.num_sam_samples
+            == SamNerfRenderer.SERVE_PRESETS["move"]["k"])
     assert snr._renderer_for("move") is snr._move_renderer
     assert snr._renderer_for("static") is snr.renderer
     # "full" preset: no move renderer, primary untouched
