@@ -136,32 +136,49 @@ def main():
     renderer = ImageRenderer(trainer.model)
     dm = trainer.datamanager
     cams = jax.tree.map(jnp.asarray, dm.eval_cameras)
+    train_cams = jax.tree.map(jnp.asarray, dm.cameras)
     pred = SamPredictor(sam, sam_params)
 
-    rows = []
-    for i in range(min(args.test_views, dm.eval_cameras.num_cameras)):
-        out = renderer.render_image(trainer.state.params, cams, i,
+    def view_miou(cam_tree, i):
+        out = renderer.render_image(trainer.state.params, cam_tree, i,
                                     features=("sam",))
         rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
         H, W = rgb.shape[:2]
         rendered = np.asarray(out["sam"])          # [fh, fw, 256]
         fh, fw = get_feature_size(H, W)
         rendered = rendered[:fh, :fw]
-
-        t0 = time.time()
         pred.set_feature(jnp.asarray(rendered), (H, W))
         masks_feat = grid_mIoU(pred, args.grid)
         pred.set_image((rgb * 255).astype(np.uint8))
         masks_img = grid_mIoU(pred, args.grid)
-        v = miou(masks_feat, masks_img)
+        return miou(masks_feat, masks_img), masks_feat.shape[0]
+
+    # train-view diagnostic: distillation fidelity isolated from
+    # novel-view reconstruction error (both mask paths consume renders;
+    # on a train view the renders are near-GT, so any mIoU gap here is
+    # the distilled features themselves)
+    train_rows = []
+    for i in range(min(2, dm.cameras.num_cameras)):
+        t0 = time.time()
+        v, nprompts = view_miou(train_cams, i)
+        train_rows.append(v)
+        print(f"  TRAIN view {i}: mIoU(set_feature vs set_image) = "
+              f"{v:.4f}  ({time.time()-t0:.0f}s, {nprompts} prompts)",
+              flush=True)
+
+    rows = []
+    for i in range(min(args.test_views, dm.eval_cameras.num_cameras)):
+        t0 = time.time()
+        v, nprompts = view_miou(cams, i)
         rows.append(v)
         print(f"  view {i}: mIoU(set_feature vs set_image) = {v:.4f}  "
-              f"({time.time()-t0:.0f}s, {masks_feat.shape[0]} prompts)",
+              f"({time.time()-t0:.0f}s, {nprompts} prompts)",
               flush=True)
 
     mean_miou = float(np.mean(rows))
-    print(f"mean mIoU over {len(rows)} held-out views: {mean_miou:.4f}",
-          flush=True)
+    mean_train_miou = float(np.mean(train_rows))
+    print(f"mean mIoU over {len(rows)} held-out views: {mean_miou:.4f} "
+          f"(train views: {mean_train_miou:.4f})", flush=True)
 
     section = [
         "",
@@ -184,9 +201,12 @@ def main():
         "| held-out view | mIoU(feature-path, image-path) |",
         "|---|---|",
     ]
+    for i, v in enumerate(train_rows):
+        section.append(f"| train {i} | {v:.4f} |")
     for i, v in enumerate(rows):
         section.append(f"| {i} | {v:.4f} |")
-    section += ["| **mean** | **" + f"{mean_miou:.4f}" + "** |", "",
+    section += ["| **mean (held-out)** | **" + f"{mean_miou:.4f}" + "** |",
+                "",
                 f"test PSNR {m['psnr']:.2f}, SAM-feat MSE "
                 f"{m.get('sam_feature_mse', float('nan')):.4f}, "
                 f"cos {m.get('sam_feature_cos', float('nan')):.4f} "
