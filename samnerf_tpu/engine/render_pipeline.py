@@ -51,6 +51,10 @@ def serve_model(model: SAMModel, nerf: int = 0, props: int = 0,
     k 4 reaches 2.3x the full-count frame rate.
     """
     cfg = model.config
+    if cfg.sort_points:
+        # serve streams are 2D-block-coherent by construction; the
+        # training-batch morton sort would be pure overhead here
+        cfg = dataclasses.replace(cfg, sort_points=False)
     if nerf:
         # a preset only ever REDUCES counts relative to the trained config
         cfg = dataclasses.replace(

@@ -73,6 +73,13 @@ class ParityHashEncoding(nn.Module):
     """"reference" = the primes-XOR spatial hash; "morton" = locality-
     preserving top index bits (coherent tiles skip untouched table slabs
     — different collision structure; train AND serve must agree)."""
+    sort_points: bool = False
+    """Sort the point stream by a coarse morton key around the kernels
+    (exact; order restored): random training batches become coherent
+    tiles so the forward skips untouched slabs and the backward scatters
+    only touched chunks.  Pair with hash_fn="morton"; TPU-only (no-op on
+    other backends).  Ignored on the quantized/live serve paths, whose
+    eval streams are already coherent by construction."""
 
     @property
     def out_dim(self) -> int:
@@ -121,5 +128,6 @@ class ParityHashEncoding(nn.Module):
                                            live=live)
         else:
             out = parity_hash_encode(table, positions, scalings,
-                                     self.num_steps, 0, self.hash_fn)
+                                     self.num_steps, 0, self.hash_fn,
+                                     self.sort_points)
         return out[:n] if pad else out

@@ -104,6 +104,9 @@ class NerfactoField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    sort_points: bool = False
+    """Sort encode point streams by a coarse morton key (training batches
+    become coherent kernel tiles; see ``ParityHashEncoding.sort_points``)."""
     occ_res: int = 0
     """Serve-time occupancy-culling grid resolution (0 = off).  The grid
     itself (``ops.occupancy.ServeOccupancy``) arrives as the ``occ`` call
@@ -115,7 +118,8 @@ class NerfactoField(nn.Module):
         self.encoding = ParityHashEncoding(
             num_levels=self.num_levels, min_res=16, max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size, features_per_level=2,
-            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)
+            quantize_serve=self.hash_q8, hash_fn=self.hash_fn,
+            sort_points=self.sort_points)
         self.mlp_base = MLP(hidden_dim=self.hidden_dim,
                             num_hidden_layers=self.num_layers - 1,
                             out_dim=1 + self.geo_feat_dim,
@@ -218,6 +222,7 @@ class HashMLPDensityField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    sort_points: bool = False
     occ_res: int = 0
 
     @nn.compact
@@ -234,7 +239,8 @@ class HashMLPDensityField(nn.Module):
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
-            quantize_serve=self.hash_q8, hash_fn=self.hash_fn)(
+            quantize_serve=self.hash_q8, hash_fn=self.hash_fn,
+            sort_points=self.sort_points)(
                 flat, live=live if _LIVE_TO_KERNEL else None)
         if self.use_linear:
             raw = nn.Dense(1)(enc)

@@ -34,6 +34,7 @@ class SAMField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    sort_points: bool = False
 
     def setup(self):
         def make_pyramids(name):
@@ -44,6 +45,7 @@ class SAMField(nn.Module):
                                  features_per_level=self.features_per_level,
                                  quantize_serve=self.hash_q8,
                                  hash_fn=self.hash_fn,
+                                 sort_points=self.sort_points,
                                  name=f"{name}_{i}")
                     for i in range(len(self.grid_layers))]
 

@@ -101,6 +101,14 @@ class SAMModelConfig:
     hash_fn: str = "reference"
     """"reference" or "morton" (locality-preserving hash; coherent eval
     tiles skip untouched table slabs).  Train and serve must agree."""
+    sort_points: bool = False
+    """Sort hash-encode point streams by a coarse morton key (exact;
+    order restored): random TRAINING batches become spatially-coherent
+    kernel tiles, so the forward scan skips untouched table slabs and
+    the backward scatter visits only touched chunks instead of sweeping
+    the whole table per point tile.  Pair with hash_fn="morton"; serve
+    instances (``engine.render_pipeline.serve_model``) turn it off —
+    their streams are already coherent by construction."""
     num_images: int = 1
     compute_dtype: Any = jnp.float32
     eval_num_rays_per_chunk: int = 1 << 15
@@ -135,13 +143,15 @@ class SAMModel(nn.Module):
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
             use_appearance_embedding=cfg.use_appearance_embedding,
             compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-            hash_fn=cfg.hash_fn, occ_res=cfg.occ_res, name="fields")
+            hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+            occ_res=cfg.occ_res, name="fields")
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, occ_res=cfg.occ_res,
+                hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+                occ_res=cfg.occ_res,
                 name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
         if cfg.distill_sam:
@@ -152,7 +162,8 @@ class SAMModel(nn.Module):
                 use_dino=cfg.use_dino_feature,
                 use_clipseg=cfg.use_clipseg_feature,
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, name="sam_field")
+                hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+                name="sam_field")
             self.conv = ConvHead(kernel_size=cfg.kernel_size,
                                  compute_dtype=cfg.compute_dtype, name="conv")
 

@@ -572,6 +572,118 @@ def _bwd_kernel_v2(meta_ref, scale_ref, pos_ref, g_ref, gtab_ref, *,
     jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
+def _bwd_kernel_v4(ids_ref, meta_ref, scale_ref, pos_ref, g_ref, gtab_ref,
+                   lo_s, hi_s, w_s, *, num_steps: int, num_levels: int,
+                   n_tiles: int, n_slots: int, tile: int, chunk_rows: int,
+                   hash_fn: str = "reference"):
+    """_bwd_kernel_v2 with the chunk sweep indirected through prefetched
+    touched-chunk ids (``_touched_slab_ids`` at ``chunk_rows``
+    granularity): a point tile only pays the one-hot MXU scatter for
+    chunks some corner of some point actually resolves to.  v2 sweeps
+    EVERY chunk of every level past every tile — at 2^19 that is
+    steps*points MACs, mostly multiplying zeros; with spatially-coherent
+    tiles (``sort_points``) + the morton hash, a tile touches only its
+    coarse region's chunks.  Random tiles degrade to exactly v2's cost.
+
+    Grid (PL, tiles, n_slots); the k-th step scatters chunk
+    ids[l, i, k], skipping padded repeats (same id as k-1).  gtab
+    [1, 2, 8, steps, 128] is VMEM-resident per level row, accumulated
+    across the (tiles, slots) sweep.
+    """
+    pid = pl.program_id(0)
+    i_id = pl.program_id(1)
+    k_id = pl.program_id(2)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    scale = scale_ref[pid, 0]
+    row = (pid % num_levels) * n_tiles + i_id
+    sid = ids_ref[row * n_slots + k_id]
+
+    @pl.when((i_id == 0) & (k_id == 0))
+    def _init():
+        gtab_ref[...] = jnp.zeros_like(gtab_ref)
+
+    @pl.when((k_id == 0) & (sid >= 0))
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
+        lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                           num_steps, s0, s1, s2, hash_fn)
+        lo_s[...] = lo
+        hi_s[...] = hi
+        w_s[...] = w
+
+    prev = ids_ref[row * n_slots + jnp.maximum(k_id - 1, 0)]
+
+    @pl.when((sid >= 0) & ((k_id == 0) | (sid != prev)))
+    def _scatter_chunk():
+        base = sid * chunk_rows
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
+        chunk_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk_rows, LANES), 1)
+        acc = jnp.zeros((PARITIES, 2 * chunk_rows, LANES), jnp.float32)
+        for j in range(tile // LANES):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols]
+            hi = hi_s[:, cols]
+            w = w_s[:, cols]
+            g0 = (g_ref[0, 0:1, cols] * w).astype(jnp.bfloat16)
+            g1 = (g_ref[0, 1:2, cols] * w).astype(jnp.bfloat16)
+            oh_lo_t = (lo[:, :, None] == lane_iota).astype(jnp.bfloat16)
+            oh_hi = (chunk_iota + base == hi[:, None, :]).astype(jnp.bfloat16)
+            u = jnp.concatenate([oh_hi * g0[:, None, :],
+                                 oh_hi * g1[:, None, :]], axis=1)
+            acc = acc + jax.lax.dot_general(
+                u, oh_lo_t, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        for s in range(PARITIES):
+            for f in range(2):
+                rows = acc[s, f * chunk_rows:(f + 1) * chunk_rows, :]
+                cur = gtab_ref[0, f, s, pl.ds(base, chunk_rows), :]
+                gtab_ref[0, f, s, pl.ds(base, chunk_rows), :] = cur + rows
+
+
+def _bwd_call_v4(positions_t, g_internal, meta, scale, ids, *, pl_rows,
+                 num_steps, num_levels, tile, hash_fn="reference"):
+    """``ids`` from :func:`_touched_slab_ids` with slab=chunk granularity
+    (min(V2_BWD_CHUNK, num_steps))."""
+    n = positions_t.shape[1]
+    chunk_rows = min(V2_BWD_CHUNK, num_steps)
+    n_slots = max(num_steps // chunk_rows, 1)
+    n_tiles = n // tile
+    kern = functools.partial(_bwd_kernel_v4, num_steps=num_steps,
+                             num_levels=num_levels, n_tiles=n_tiles,
+                             n_slots=n_slots, tile=tile,
+                             chunk_rows=chunk_rows, hash_fn=hash_fn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl_rows, n_tiles, n_slots),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda l, i, k, ids: (0, i)),
+            pl.BlockSpec((1, 2, tile), lambda l, i, k, ids: (l, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, PARITIES, num_steps, LANES),
+                               lambda l, i, k, ids: (l, 0, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (pl_rows, 2, PARITIES, num_steps, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(ids, meta, scale, positions_t, g_internal)
+
+
 def _bwd_call_v2(positions_t, g_internal, meta, scale, *, pl_rows, num_steps,
                  tile, hash_fn="reference"):
     n = positions_t.shape[1]
@@ -663,12 +775,21 @@ def _touched_slab_ids(pos_t, plan, num_steps: int, tile: int, slab: int,
                 _, hi, _ = _corner_index_math(x, y, z, scale, dense, half,
                                               num_steps, s0, s1, s2, hash_fn)
             sl = (hi >> shift).reshape(PARITIES, n_tiles, tile)
-            if n_slabs <= 32:
-                # one pass: per-tile OR of one-hot slab bits
-                bits = jnp.uint32(1) << sl.astype(jnp.uint32)
-                word = jax.lax.reduce(bits, jnp.uint32(0),
-                                      jax.lax.bitwise_or, (0, 2))
-                mask = ((word[:, None] >> iota.astype(jnp.uint32)[None, :])
+            n_words = -(-n_slabs // 32)
+            if n_words <= 8:
+                # n_words passes: per-tile OR of one-hot slab bits,
+                # 32 slab ids per uint32 word
+                slu = sl.astype(jnp.uint32)
+                words = []
+                for wd in range(n_words):
+                    bits = jnp.where((slu >> 5) == wd,
+                                     jnp.uint32(1) << (slu & 31),
+                                     jnp.uint32(0))
+                    words.append(jax.lax.reduce(bits, jnp.uint32(0),
+                                                jax.lax.bitwise_or, (0, 2)))
+                word = jnp.stack(words, -1)        # [n_tiles, n_words]
+                mask = ((word[:, iota // 32]
+                         >> (iota % 32).astype(jnp.uint32)[None, :])
                         & 1).astype(bool)
             else:
                 mask = jnp.stack(
@@ -1149,11 +1270,39 @@ def _use_v2(num_steps: int, pl_rows: int) -> bool:
     return num_steps > 32 or table_bytes > 6 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _coherent_key(positions: jax.Array, bits: int = 8) -> jax.Array:
+    """Morton (z-order) key of [N, 3] positions in [0,1]: bit order
+    (x_hi, y_hi, z_hi, x, y, z, ...), matching ``_morton_mix``'s coarse
+    region key so a key-sorted point stream places same-region points
+    (= same table slabs under hash_fn="morton") contiguously."""
+    def spread3(v):      # 8 significant bits -> every 3rd bit
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+    q = jnp.clip(positions * float(1 << bits), 0.0,
+                 float((1 << bits) - 1)).astype(jnp.uint32)
+    key = ((spread3(q[:, 0]) << 2) | (spread3(q[:, 1]) << 1)
+           | spread3(q[:, 2]))
+    return key.astype(jnp.int32)
+
+
+def coherent_perm(positions: jax.Array):
+    """(perm, inv_perm) sorting positions by the coarse morton key."""
+    n = positions.shape[0]
+    perm = jnp.argsort(_coherent_key(positions))
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def parity_hash_encode(table: jax.Array, positions: jax.Array,
                        scalings, num_steps: int,
                        tile: int = 0,
-                       hash_fn: str = "reference") -> jax.Array:
+                       hash_fn: str = "reference",
+                       sort_points: bool = False) -> jax.Array:
     """TPU hash encoding. table [P*L, steps*8, 128, 2] fp32,
     positions [N, 3] (N multiple of 128) -> [N, P*2*L] fp32.
 
@@ -1163,8 +1312,30 @@ def parity_hash_encode(table: jax.Array, positions: jax.Array,
     XOR hash, ``encodings.py:289-306``) or "morton" (locality-preserving
     top bits: coherent tiles touch few table slabs and the kernel skips
     the rest; different collision structure — opt-in).
+
+    sort_points=True (TPU only; exact, order-restored) sorts the point
+    stream by the coarse morton key before the kernels: random training
+    batches become spatially-coherent tiles, so the forward scan skips
+    untouched slabs and the backward scatter (``_bwd_kernel_v4``) visits
+    only touched chunks instead of sweeping the full table per tile.
+    Pays one sort + two row-gathers per call; a win when num_steps is
+    large (2^19 tables) and points are uniformly scattered.  Pair with
+    hash_fn="morton" — under the reference hash, indices have no
+    locality for the sort to expose.
     """
+    if sort_points and jax.default_backend() == "tpu":
+        out, _ = _sorted_fwd(table, positions, scalings, num_steps, tile,
+                             hash_fn)
+        return out
     return _fwd(table, positions, scalings, num_steps, tile, hash_fn)
+
+
+def _sorted_fwd(table, positions, scalings, num_steps, tile, hash_fn):
+    """Sort-encode-unsort; returns (out, (sorted positions, perm))."""
+    perm, inv = coherent_perm(positions)
+    pos_s = jnp.take(positions, perm, axis=0)
+    out_s = _fwd(table, pos_s, scalings, num_steps, tile, hash_fn)
+    return jnp.take(out_s, inv, axis=0), (pos_s, perm)
 
 
 def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference",
@@ -1215,12 +1386,17 @@ def parity_hash_encode_serve(table: jax.Array, positions: jax.Array,
 
 
 def _fwd_rule(table, positions, scalings, num_steps, tile,
-              hash_fn="reference"):
+              hash_fn="reference", sort_points=False):
+    if sort_points and jax.default_backend() == "tpu":
+        out, res = _sorted_fwd(table, positions, scalings, num_steps, tile,
+                               hash_fn)
+        return out, res
     return _fwd(table, positions, scalings, num_steps, tile,
-                hash_fn), positions
+                hash_fn), (positions, None)
 
 
-def _bwd_rule(scalings, num_steps, tile, hash_fn, positions, g):
+def _bwd_rule(scalings, num_steps, tile, hash_fn, sort_points, res, g):
+    positions, perm = res
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
     num_packed = g.shape[-1] // (2 * num_levels)
@@ -1233,14 +1409,27 @@ def _bwd_rule(scalings, num_steps, tile, hash_fn, positions, g):
                                              num_steps, hash_fn),
             jnp.zeros(shape, jnp.float32))
         return vjp(g)[0], jnp.zeros_like(positions)
+    if perm is not None:
+        # positions are the SORTED stream; align the cotangent with it.
+        # The table gradient is point-order-invariant, so no unsort.
+        g = jnp.take(g, perm, axis=0)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     if _use_v2(num_steps, gl) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         g_int = _public_to_internal(g, num_packed, num_levels)
-        gtab = _bwd_call_v2(pos_t, g_int, meta, scale, pl_rows=gl,
-                            num_steps=num_steps,
-                            tile=tile or _pick_tile(n, 8192),
-                            hash_fn=hash_fn)
+        t = tile or _pick_tile(n, 8192)
+        if perm is not None:
+            # coherent tiles: scatter only the touched chunks (bwd v4)
+            chunk = min(V2_BWD_CHUNK, num_steps)
+            ids = _touched_slab_ids(pos_t, plan, num_steps, t, chunk,
+                                    hash_fn)
+            gtab = _bwd_call_v4(pos_t, g_int, meta, scale, ids, pl_rows=gl,
+                                num_steps=num_steps, num_levels=num_levels,
+                                tile=t, hash_fn=hash_fn)
+        else:
+            gtab = _bwd_call_v2(pos_t, g_int, meta, scale, pl_rows=gl,
+                                num_steps=num_steps, tile=t,
+                                hash_fn=hash_fn)
         # [gl, 2, 8, steps, 128] parity-major -> [gl, steps*8, 128, 2]
         gtab = jnp.moveaxis(gtab, 1, -1)      # [gl, 8, steps, 128, 2]
         gtab = jnp.swapaxes(gtab, 1, 2)       # [gl, steps, 8, 128, 2]

@@ -467,3 +467,98 @@ def test_serve_encode_live_module(monkeypatch):
     np.testing.assert_allclose(out_live, base, rtol=1e-5, atol=1e-6)
     out_dead = np.asarray(enc.apply(params, pos, live=jnp.zeros(256)))
     assert (out_dead == 0).all()
+
+
+def test_v4_bwd_matches_ref_vjp(monkeypatch):
+    """Touched-chunk backward (bwd v4) == the reference vjp on random AND
+    coherent point streams, both hash fns.  V2_BWD_CHUNK is shrunk to 2 so
+    the 8-step tables exercise multiple chunk slots, padded repeats, and
+    the chunk-skip predicate (a wrongly-skipped chunk would zero its
+    gradient rows; disjointness makes any double-count visible too)."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(hp, "V2_BWD_CHUNK", 2)
+    scalings, table, pos = _setup(L=3, steps=8, N=512)
+    plan = hp._level_plan(scalings, 8)
+    meta, scale = hp._plan_meta(plan, 8, 1)
+    t = np.linspace(0, 1, 512, dtype=np.float32)
+    coherent = jnp.asarray(
+        np.stack([0.4 + 0.05 * t, 0.5 + 0.04 * np.sin(3 * t),
+                  0.45 + 0.05 * t], -1))
+    g = jax.random.normal(jax.random.PRNGKey(9), (512, 6))
+    for hf in ("reference", "morton"):
+        for pts in (pos, coherent):
+            _, vjp = jax.vjp(
+                lambda tab: hp.parity_hash_encode_ref(tab, pts, scalings,
+                                                      8, hf), table)
+            ref_grad = vjp(g)[0]
+            pos_t = jnp.zeros((8, 512)).at[:3].set(pts.T)
+            ids = hp._touched_slab_ids(pos_t, plan, 8, 128, 2, hf)
+            g_int = hp._public_to_internal(g, 1, 3)
+            gtab = hp._bwd_call_v4(pos_t, g_int, meta, scale, ids,
+                                   pl_rows=3, num_steps=8, num_levels=3,
+                                   tile=128, hash_fn=hf)
+            out = np.moveaxis(np.asarray(gtab), 1, -1)
+            out = out.swapaxes(1, 2).reshape(3, 8 * 8, 128, 2)
+            # bf16 cotangent rounding as in v2 (tcnn-equivalent precision)
+            np.testing.assert_allclose(out, np.asarray(ref_grad),
+                                       rtol=1e-2, atol=1e-2, err_msg=hf)
+
+
+def test_coherent_perm_roundtrip_and_locality():
+    pos = jax.random.uniform(jax.random.PRNGKey(5), (1024, 3))
+    perm, inv = hp.coherent_perm(pos)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1024, 4))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.take(jnp.take(x, perm, axis=0), inv, axis=0)),
+        np.asarray(x))
+    # sorted stream is spatially coherent: mean nearest-neighbor distance
+    # between consecutive sorted points far below the random order's
+    ps = np.asarray(jnp.take(pos, perm, axis=0))
+    d_sorted = np.linalg.norm(np.diff(ps, axis=0), axis=1).mean()
+    d_orig = np.linalg.norm(np.diff(np.asarray(pos), axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_orig
+    # key top bits match the _morton_mix region ordering (x, y, z halves)
+    key = np.asarray(hp._coherent_key(pos))
+    top3 = (key >> 21) & 0b111
+    expect = ((np.asarray(pos)[:, 0] >= 0.5).astype(int) << 2 \
+              | (np.asarray(pos)[:, 1] >= 0.5).astype(int) << 1
+              | (np.asarray(pos)[:, 2] >= 0.5).astype(int))
+    np.testing.assert_array_equal(top3, expect)
+
+
+def test_sorted_public_op_fwd_and_grad(monkeypatch):
+    """parity_hash_encode(sort_points=True) == the unsorted op, value AND
+    table gradient, through the interpreted kernels (fwd v2 + bwd v4)."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(hp, "V2_BWD_CHUNK", 2)
+    scalings, table, pos = _setup(L=3, steps=8, N=384, min_res=8,
+                                  max_res=128)
+    for hf in ("morton", "reference"):
+        ref = hp.parity_hash_encode_ref(table, pos, scalings, 8, hf)
+        out = hp.parity_hash_encode(table, pos, scalings, 8, 0, hf, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+
+        def loss(tab, sort):
+            o = hp.parity_hash_encode(tab, pos, scalings, 8, 0, hf, sort)
+            return jnp.sum(o ** 2 * jnp.cos(jnp.arange(o.size)
+                                            .reshape(o.shape) * 0.1))
+        g_sorted = jax.grad(loss)(table, True)
+        g_plain = jax.grad(loss)(table, False)
+        np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_plain),
+                                   rtol=1e-2, atol=1e-3, err_msg=hf)
+
+
+def test_sorted_encoding_module_cpu_fallback():
+    """sort_points on a non-TPU backend is a no-op (ref path, grads ok)."""
+    from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
+    enc = ParityHashEncoding(num_levels=2, min_res=4, max_res=16,
+                             log2_hashmap_size=10, hash_fn="morton",
+                             sort_points=True)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (130, 3))
+    params = enc.init(jax.random.PRNGKey(1), pos)
+    out = enc.apply(params, pos)
+    assert out.shape == (130, 4) and np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, pos) ** 2))(params)
+    assert float(jnp.max(jnp.abs(g["params"]["table"]))) > 0
