@@ -48,7 +48,10 @@ def _no_distill(data: Path = Path("/data/mipnerf360/room/")) -> MethodConfig:
             num_proposal_samples_per_ray=(64,),
             num_nerf_samples_per_ray=32, num_sam_samples=3,
             use_appearance_embedding=False,
-            eval_num_rays_per_chunk=1 << 15),
+            eval_num_rays_per_chunk=1 << 15,
+            # same measured training levers as samnerf_distill (shared
+            # NerfactoField): morton hash + coherent-sort encodes.
+            hash_fn="morton", sort_points=True),
         datamanager=DataManagerConfig(
             dataparser=DataparserConfig(data=data, scale_factor=1.0,
                                         train_val_json_split=True),
@@ -83,9 +86,12 @@ def _distill(data: Path = Path("/data/mipnerf360/room/")) -> MethodConfig:
             # measured training defaults (scripts/bench_train_throughput):
             # activations fit HBM at 16384-ray steps, so remat only
             # recomputes encodes (7.4k -> 9.2k rays/s off); morton hash
-            # +22% with quality parity (docs/QUALITY_morton.md).
-            # Together: 14.5k rays/s at 2^19 reference capacity.
-            use_remat=False, hash_fn="morton"),
+            # +22% with quality parity (docs/QUALITY_morton.md);
+            # sort_points pairs the coherent point sort with the
+            # touched-chunk backward on the 2^19 field/SAM pyramids
+            # (encode+vjp 208->141 ms nerf, 496->378 ms SAM measured,
+            # scripts/bench_sort_bwd.py; proposals stay unsorted).
+            use_remat=False, hash_fn="morton", sort_points=True),
         datamanager=DataManagerConfig(
             dataparser=DataparserConfig(data=data, scale_factor=1.0,
                                         train_val_json_split=True),

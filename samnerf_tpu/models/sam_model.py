@@ -150,7 +150,12 @@ class SAMModel(nn.Module):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+                # proposals stay unsorted: at their small tables (5Lx2f
+                # @2^17) the sort machinery costs more than the touched-
+                # chunk backward saves (48.9->54.9 ms measured,
+                # scripts/bench_sort_bwd.py); sorting only pays at the
+                # 2^19 field/SAM pyramids.
+                hash_fn=cfg.hash_fn, sort_points=False,
                 occ_res=cfg.occ_res,
                 name=f"proposal_networks_{i}", **args))
         self.proposal_networks = props
