@@ -32,6 +32,10 @@ class ZooMethod:
     model (the nerfacc ``OccupancyGrid`` the reference's instant-ngp and
     nerfplayer-ngp variants train with, ``models/instant_ngp.py:117-124``,
     ``nerfplayer_ngp.py``)."""
+    lr: float = 1e-2
+    """Per-method Adam lr (the reference registers per-method optimizers
+    in ``method_configs.py``: ~1e-2 for grid methods, 5e-4 for the pure
+    MLP fields, which diverge at grid rates)."""
 
 
 def _vanilla():
@@ -82,8 +86,9 @@ def zoo_methods() -> Dict[str, ZooMethod]:
                                     vanilla_nerf)
     return {
         "vanilla-nerf": ZooMethod("vanilla-nerf", _vanilla,
-                                  vanilla_nerf.get_loss_dict),
-        "mipnerf": ZooMethod("mipnerf", _mipnerf, mipnerf.get_loss_dict),
+                                  vanilla_nerf.get_loss_dict, lr=5e-4),
+        "mipnerf": ZooMethod("mipnerf", _mipnerf, mipnerf.get_loss_dict,
+                             lr=5e-4),
         "instant-ngp": ZooMethod("instant-ngp", _instant_ngp,
                                  instant_ngp.get_loss_dict,
                                  use_occupancy=True),
@@ -131,3 +136,35 @@ def make_zoo_train_step(method: ZooMethod, model, config,
         return new_params, new_opt, metrics
 
     return step
+
+
+def make_zoo_train_chunk(method: ZooMethod, model, config,
+                         optimizer: optax.GradientTransformation):
+    """``make_zoo_train_step`` fused over a chunk of steps with
+    ``lax.scan`` — one device dispatch per chunk instead of per step
+    (the flagship ``engine.trainer.Trainer`` does the same; the per-step
+    host/tunnel gap otherwise dominates these small models).
+
+    Takes stacked ``batches`` (dict of [chunk, ...] arrays) and ``rngs``
+    ([chunk] keys); the occupancy grid is scan-invariant (its every-16-
+    step EMA update runs between chunks, matching the reference cadence,
+    ``models/instant_ngp.py:186-190``).  Returns last-step metrics.
+    """
+    step = make_zoo_train_step(method, model, config, optimizer)
+
+    def chunk_fn(params, opt_state, cameras: Cameras, batches, rngs,
+                 occupancy=None):
+        def body(carry, xs):
+            p, o = carry
+            batch, rng = xs
+            if method.use_occupancy:
+                p, o, metrics = step(p, o, cameras, batch, rng, occupancy)
+            else:
+                p, o, metrics = step(p, o, cameras, batch, rng)
+            return (p, o), metrics
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, rngs))
+        return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+
+    return chunk_fn

@@ -153,7 +153,7 @@ def train_zoo(name: str, argv) -> int:
     import jax.numpy as jnp
     import optax
 
-    from samnerf_tpu.configs.zoo import make_zoo_train_step, zoo_methods
+    from samnerf_tpu.configs.zoo import make_zoo_train_chunk, zoo_methods
     from samnerf_tpu.core.cameras import generate_rays
     from samnerf_tpu.data.datamanager import (DataManager, DataManagerConfig)
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -164,7 +164,8 @@ def train_zoo(name: str, argv) -> int:
     ap.add_argument("--data", required=True)
     ap.add_argument("--max-num-iterations", type=int, default=30000)
     ap.add_argument("--rays-per-batch", type=int, default=4096)
-    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the per-method default lr")
     ap.add_argument("--output-dir", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--log-every", type=int, default=100)
@@ -198,9 +199,10 @@ def train_zoo(name: str, argv) -> int:
                             batch0["indices"][:, 1:].astype(jnp.float32))
     params = jax.jit(lambda r, b: model.init(r, b, rng=r, train=True))(
         jax.random.PRNGKey(args.seed), bundle0)
-    opt = optax.adam(args.lr)
+    lr = args.lr if args.lr is not None else method.lr
+    opt = optax.adam(lr)
     opt_state = opt.init(params)
-    step_fn = jax.jit(make_zoo_train_step(method, model, cfg, opt))
+    step_fn = jax.jit(make_zoo_train_chunk(method, model, cfg, opt))
 
     # occupancy-grid maintenance for the ngp variants (the reference's
     # nerfacc OccupancyGrid every-16-step EMA update,
@@ -224,21 +226,34 @@ def train_zoo(name: str, argv) -> int:
             return update_occupancy(grid_density, dfn, occ_aabb, rng,
                                     num_samples=res ** 3 // 4)
 
+    # fused dispatch: scan CHUNK steps per device call (the per-step
+    # host/tunnel gap otherwise dominates these small models; the
+    # flagship Trainer uses the same pattern).  The iteration count is
+    # rounded UP to a chunk multiple so there is exactly one compiled
+    # shape; the chunk matches the occupancy-EMA cadence.
+    chunk = occ_every
+    n_chunks = -(-args.max_num_iterations // chunk)
     t0 = time.time()
-    for step in range(1, args.max_num_iterations + 1):
-        batch = {k: jnp.asarray(v) for k, v in dm.next_train(step).items()}
+    for c in range(n_chunks):
+        start = c * chunk + 1
+        host_batches = [dm.next_train(s)
+                        for s in range(start, start + chunk)]
+        batches = {k: jnp.stack([jnp.asarray(b[k]) for b in host_batches])
+                   for k in host_batches[0]}
+        rngs = jnp.stack([jax.random.PRNGKey(args.seed + s)
+                          for s in range(start, start + chunk)])
         if method.use_occupancy:
-            if step > occ_warmup and step % occ_every == 0:
+            if start > occ_warmup:
                 grid_density, occupancy = occ_update(
-                    params, grid_density, jax.random.PRNGKey(step))
+                    params, grid_density, jax.random.PRNGKey(start))
             params, opt_state, metrics = step_fn(
-                params, opt_state, cameras, batch,
-                jax.random.PRNGKey(args.seed + step), occupancy)
+                params, opt_state, cameras, batches, rngs, occupancy)
         else:
             params, opt_state, metrics = step_fn(
-                params, opt_state, cameras, batch,
-                jax.random.PRNGKey(args.seed + step))
-        if step % args.log_every == 0 or step == args.max_num_iterations:
+                params, opt_state, cameras, batches, rngs)
+        step = start + chunk - 1
+        if (step // chunk) % max(1, args.log_every // chunk) == 0 \
+                or c == n_chunks - 1:
             print(f"step {step}: loss={float(metrics['total_loss']):.5f} "
                   f"({(time.time() - t0):.0f}s)", flush=True)
 
