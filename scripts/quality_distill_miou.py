@@ -139,7 +139,14 @@ def main():
     train_cams = jax.tree.map(jnp.asarray, dm.cameras)
     pred = SamPredictor(sam, sam_params)
 
-    def view_miou(cam_tree, i):
+    def view_miou(cam_tree, i, gt_path=None):
+        """Returns (mIoU vs rendered-rgb masks, mIoU vs GT-image masks).
+
+        The second column is the reference's actual serving claim:
+        rendered features replace running the encoder on the *real*
+        view (``sam_model.py:486`` — the viewer never re-encodes);
+        the first isolates the feature path from rgb reconstruction
+        error by re-encoding the render itself."""
         out = renderer.render_image(trainer.state.params, cam_tree, i,
                                     features=("sam",))
         rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
@@ -151,34 +158,49 @@ def main():
         masks_feat = grid_mIoU(pred, args.grid)
         pred.set_image((rgb * 255).astype(np.uint8))
         masks_img = grid_mIoU(pred, args.grid)
-        return miou(masks_feat, masks_img), masks_feat.shape[0]
+        v_gt = float("nan")
+        if gt_path is not None:
+            from PIL import Image
+            pred.set_image(np.asarray(Image.open(gt_path))[..., :3])
+            masks_gt = grid_mIoU(pred, args.grid)
+            v_gt = miou(masks_feat, masks_gt)
+        return miou(masks_feat, masks_img), v_gt
 
     # train-view diagnostic: distillation fidelity isolated from
     # novel-view reconstruction error (both mask paths consume renders;
     # on a train view the renders are near-GT, so any mIoU gap here is
     # the distilled features themselves)
+    import json as _json
+    def _gt_paths(meta_name):
+        meta = _json.loads((scene / meta_name).read_text())
+        return [scene / f["file_path"] for f in meta["frames"]]
+    train_paths = _gt_paths("transforms_train.json")
+    test_paths = _gt_paths("transforms_test.json")
+
     train_rows = []
     for i in range(min(2, dm.cameras.num_cameras)):
         t0 = time.time()
-        v, nprompts = view_miou(train_cams, i)
-        train_rows.append(v)
-        print(f"  TRAIN view {i}: mIoU(set_feature vs set_image) = "
-              f"{v:.4f}  ({time.time()-t0:.0f}s, {nprompts} prompts)",
+        v, v_gt = view_miou(train_cams, i, gt_path=train_paths[i])
+        train_rows.append((v, v_gt))
+        print(f"  TRAIN view {i}: mIoU vs set_image(render) = {v:.4f}, "
+              f"vs set_image(GT) = {v_gt:.4f}  ({time.time()-t0:.0f}s)",
               flush=True)
 
     rows = []
     for i in range(min(args.test_views, dm.eval_cameras.num_cameras)):
         t0 = time.time()
-        v, nprompts = view_miou(cams, i)
-        rows.append(v)
-        print(f"  view {i}: mIoU(set_feature vs set_image) = {v:.4f}  "
-              f"({time.time()-t0:.0f}s, {nprompts} prompts)",
+        v, v_gt = view_miou(cams, i, gt_path=test_paths[i])
+        rows.append((v, v_gt))
+        print(f"  view {i}: mIoU vs set_image(render) = {v:.4f}, "
+              f"vs set_image(GT) = {v_gt:.4f}  ({time.time()-t0:.0f}s)",
               flush=True)
 
-    mean_miou = float(np.mean(rows))
-    mean_train_miou = float(np.mean(train_rows))
+    mean_miou = float(np.mean([r[0] for r in rows]))
+    mean_gt = float(np.mean([r[1] for r in rows]))
+    mean_train_miou = float(np.mean([r[0] for r in train_rows]))
     print(f"mean mIoU over {len(rows)} held-out views: {mean_miou:.4f} "
-          f"(train views: {mean_train_miou:.4f})", flush=True)
+          f"(vs GT-image masks {mean_gt:.4f}; train views "
+          f"{mean_train_miou:.4f})", flush=True)
 
     section = [
         "",
@@ -198,14 +220,16 @@ def main():
         "single-mask decode.",
         "Reference behavior: `samnerf/sam_model.py:486` vs `:529-547`.",
         "",
-        "| held-out view | mIoU(feature-path, image-path) |",
-        "|---|---|",
+        "| view | mIoU vs set_image(rendered rgb) | mIoU vs "
+        "set_image(GT image) |",
+        "|---|---|---|",
     ]
-    for i, v in enumerate(train_rows):
-        section.append(f"| train {i} | {v:.4f} |")
-    for i, v in enumerate(rows):
-        section.append(f"| {i} | {v:.4f} |")
-    section += ["| **mean (held-out)** | **" + f"{mean_miou:.4f}" + "** |",
+    for i, (v, vg) in enumerate(train_rows):
+        section.append(f"| train {i} | {v:.4f} | {vg:.4f} |")
+    for i, (v, vg) in enumerate(rows):
+        section.append(f"| held-out {i} | {v:.4f} | {vg:.4f} |")
+    section += ["| **mean (held-out)** | **" + f"{mean_miou:.4f}" + "** | **"
+                + f"{mean_gt:.4f}" + "** |",
                 "",
                 f"test PSNR {m['psnr']:.2f}, SAM-feat MSE "
                 f"{m.get('sam_feature_mse', float('nan')):.4f}, "
