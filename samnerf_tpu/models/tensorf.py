@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from samnerf_tpu.core.rays import RayBundle
 from samnerf_tpu.fields.mlp import MLP
+from samnerf_tpu.ops.colliders import aabb_collider
 from samnerf_tpu.ops import rendering as render_ops
 from samnerf_tpu.ops import samplers as S
 from samnerf_tpu.ops.encodings import (nerf_frequency_encoding,
@@ -109,7 +110,13 @@ class TensoRFModel(nn.Module):
                  rng: Optional[jax.Array] = None,
                  train: bool = True) -> Dict[str, Any]:
         cfg = self.config
-        rb = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
+        # the reference attaches an AABBBoxCollider (scene-box ray
+        # intersection) to this model (``nerfstudio/models/tensorf.py:139-142``);
+        # constant [near, far] = [0.05, 1000] with LINEAR spacing puts
+        # essentially every uniform sample outside a bounded scene.
+        aabb = jnp.asarray([[-cfg.aabb_scale] * 3, [cfg.aabb_scale] * 3])
+        rb = aabb_collider(ray_bundle, aabb, near_plane=cfg.near_plane)
+        rb = rb.replace(fars=jnp.minimum(rb.fars, cfg.far_plane))
         coarse = S.initial_samples(rng, rb, cfg.num_uniform_samples,
                                    stratified=train,
                                    spacing_fn=lambda x: x,

@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from samnerf_tpu.core.rays import RayBundle
 from samnerf_tpu.fields.mlp import MLP, trunc_exp
+from samnerf_tpu.ops.colliders import aabb_collider
 from samnerf_tpu.ops import rendering as render_ops
 from samnerf_tpu.ops import samplers as S
 from samnerf_tpu.ops.encodings import nerf_frequency_encoding
@@ -26,6 +27,7 @@ class VanillaNerfConfig:
     num_coarse_samples: int = 64
     num_importance_samples: int = 128
     near_plane: float = 0.05
+    aabb_scale: float = 1.5
     far_plane: float = 1000.0
     pos_frequencies: int = 10
     dir_frequencies: int = 4
@@ -78,7 +80,13 @@ class VanillaNerfModel(nn.Module):
                  rng: Optional[jax.Array] = None,
                  train: bool = True) -> Dict[str, Any]:
         cfg = self.config
-        rb = ray_bundle.with_near_far(cfg.near_plane, cfg.far_plane)
+        # the reference attaches an AABBBoxCollider (scene-box ray
+        # intersection) to this model (``nerfstudio/models/vanilla_nerf.py:73-80``);
+        # constant [near, far] = [0.05, 1000] with LINEAR spacing puts
+        # essentially every uniform sample outside a bounded scene.
+        aabb = jnp.asarray([[-cfg.aabb_scale] * 3, [cfg.aabb_scale] * 3])
+        rb = aabb_collider(ray_bundle, aabb, near_plane=cfg.near_plane)
+        rb = rb.replace(fars=jnp.minimum(rb.fars, cfg.far_plane))
         coarse = S.initial_samples(rng, rb, cfg.num_coarse_samples,
                                    stratified=train,
                                    spacing_fn=lambda x: x,
