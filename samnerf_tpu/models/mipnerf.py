@@ -75,10 +75,12 @@ class MipNerfModel(nn.Module):
                  rng: Optional[jax.Array] = None,
                  train: bool = True) -> Dict[str, Any]:
         cfg = self.config
-        # the reference attaches an AABBBoxCollider (scene-box ray
-        # intersection) to this model (``nerfstudio/models/mipnerf.py (collider from base Model)``);
-        # constant [near, far] = [0.05, 1000] with LINEAR spacing puts
-        # essentially every uniform sample outside a bounded scene.
+        # Deliberate deviation: the reference uses the base model's
+        # NearFarCollider(near=2, far=6) (``nerfstudio/models/base_model.py:105-107``),
+        # which assumes blender-scale scenes.  This repo auto-scales poses,
+        # so an AABB-intersection collider is used instead — a constant
+        # near/far window with LINEAR spacing would put most uniform
+        # samples outside the rescaled scene box.
         aabb = jnp.asarray([[-cfg.aabb_scale] * 3, [cfg.aabb_scale] * 3])
         rb = aabb_collider(ray_bundle, aabb, near_plane=cfg.near_plane)
         rb = rb.replace(fars=jnp.minimum(rb.fars, cfg.far_plane))

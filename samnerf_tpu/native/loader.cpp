@@ -65,9 +65,14 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>& rgb,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg reports corrupt/truncated streams as WARNINGS and pads the
+  // remaining scanlines with gray blocks — silently accepting that would
+  // feed corrupt pixels to training.  Treat any warning as failure (the
+  // caller falls back to the strict PIL path).
+  bool clean = cinfo.err->num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
-  return true;
+  return clean;
 }
 
 // Decode one PNG (8/16-bit, gray/rgb/rgba) into rgb [h, w, 3]. RGBA is

@@ -162,13 +162,16 @@ def train_zoo(name: str, argv) -> int:
 
     ap = argparse.ArgumentParser(prog=f"samnerf_tpu.train {name}")
     ap.add_argument("--data", required=True)
-    ap.add_argument("--max-num-iterations", type=int, default=30000)
+    ap.add_argument("--max-num-iterations", type=int, default=30000,
+                    help="rounded UP to a multiple of the 16-step scan "
+                         "chunk (one compiled shape; up to 15 extra steps)")
     ap.add_argument("--rays-per-batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=None,
                     help="override the per-method default lr")
     ap.add_argument("--output-dir", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--log-every", type=int, default=100,
+                    help="quantized to the 16-step scan chunk")
     args = ap.parse_args(argv)
 
     setup_jax()
@@ -244,8 +247,16 @@ def train_zoo(name: str, argv) -> int:
                           for s in range(start, start + chunk)])
         if method.use_occupancy:
             if start > occ_warmup:
+                # distinct key stream from the training keys
+                # PRNGKey(seed+s): fold the step into a tagged base key.
+                # (The one-chunk warmup shift vs the reference's exact
+                # step-272 boundary is intentional: the update runs at
+                # chunk granularity.)
+                occ_rng = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(args.seed), 0x0CC),
+                    start)
                 grid_density, occupancy = occ_update(
-                    params, grid_density, jax.random.PRNGKey(start))
+                    params, grid_density, occ_rng)
             params, opt_state, metrics = step_fn(
                 params, opt_state, cameras, batches, rngs, occupancy)
         else:

@@ -92,7 +92,10 @@ class RenderStateMachine(threading.Thread):
         self.last_cam_msg: Optional[m.CameraMessage] = None
         self.render_times = deque([], maxlen=3)
         self.vis_rays_per_sec = 100000.0  # initial guess (ref :342)
-        self._stop = False
+        # NB: must not be named ``_stop`` — that shadows an internal
+        # threading.Thread method and corrupts thread teardown (the
+        # source of the 'exception not rethrown' exit crashes).
+        self._stop_requested = False
 
     def action(self, action: RenderAction):
         """``render_state_machine.py:102-133`` (sans the interrupt hack)."""
@@ -109,13 +112,13 @@ class RenderStateMachine(threading.Thread):
         self.render_trigger.set()
 
     def stop(self):
-        self._stop = True
+        self._stop_requested = True
         self.render_trigger.set()
 
     def run(self):
-        while not self._stop:
+        while not self._stop_requested:
             self.render_trigger.wait(timeout=0.1)
-            if self._stop:
+            if self._stop_requested:
                 return
             action = self.next_action
             self.render_trigger.clear()

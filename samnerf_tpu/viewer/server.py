@@ -34,6 +34,7 @@ class ViewerServer:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._thread: Optional[threading.Thread] = None
         self._started = threading.Event()
+        self._stop_future: Optional[asyncio.Future] = None
 
     # --- lifecycle ---------------------------------------------------------
     def start(self):
@@ -41,16 +42,36 @@ class ViewerServer:
         self._thread.start()
         self._started.wait(timeout=10)
 
+    def stop(self):
+        """Shut the event loop down and join the server thread.  Safe to
+        call more than once (and from atexit): a daemon thread left inside
+        asyncio at interpreter teardown dies mid-syscall, which used to
+        surface as 'FATAL: exception not rethrown' / stray tracebacks
+        after a green test run."""
+        loop, fut = self._loop, self._stop_future
+        if loop is not None and fut is not None:
+            def _finish():
+                if not fut.done():
+                    fut.set_result(None)
+            try:
+                loop.call_soon_threadsafe(_finish)
+            except RuntimeError:
+                pass  # loop already closed
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
     def _run(self):
         asyncio.run(self._main())
 
     async def _main(self):
         import websockets
         self._loop = asyncio.get_running_loop()
+        self._stop_future = self._loop.create_future()
         async with websockets.serve(self._handle_client, self.host, self.port,
                                     max_size=None):
             self._started.set()
-            await asyncio.Future()  # run forever
+            await self._stop_future
 
     async def _handle_client(self, ws):
         self._clients.add(ws)

@@ -141,6 +141,21 @@ class ViewerState:
     def start(self):
         self.server.start()
         self.render_machine.start()
+        # daemon threads must not outlive the interpreter's teardown of
+        # jit machinery (stray KeyError tracebacks / native 'exception
+        # not rethrown' after green test runs); stop() is idempotent
+        import atexit
+        atexit.register(self.stop)
+
+    def stop(self):
+        """Stop the render thread and the websocket server; idempotent."""
+        rm = getattr(self, "render_machine", None)
+        if rm is not None and rm.is_alive():
+            rm.stop()
+            rm.join(timeout=5)
+        srv = getattr(self, "server", None)
+        if srv is not None:
+            srv.stop()
 
     # --- model access for the render machine -------------------------------
     def render_view(self, intrin, c2w, h, w, points=None, text_prompt=None,

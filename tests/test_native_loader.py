@@ -80,6 +80,37 @@ def test_native_failure_returns_none(tmp_path):
     assert native.decode_images([bad], 8, 8) is None
 
 
+def test_native_corrupt_image_mid_batch(tmp_path):
+    """One corrupt file among many valid ones: the whole batch is
+    reported failed (caller falls back to PIL), the thread pool joins
+    cleanly, and an immediately following good batch still decodes."""
+    if native.get_loader() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(9):
+        img = rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        p = tmp_path / f"ok{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    # corrupt variants exercising different decoder error paths:
+    # garbage bytes, truncated PNG body, truncated JPEG body (longjmp)
+    garbage = tmp_path / "garbage.png"
+    garbage.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    trunc_png = tmp_path / "trunc.png"
+    trunc_png.write_bytes(paths[0].read_bytes()[:40])
+    jp = tmp_path / "full.jpg"
+    Image.fromarray(rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)).save(jp)
+    trunc_jpg = tmp_path / "trunc.jpg"
+    trunc_jpg.write_bytes(jp.read_bytes()[:-32])
+    for bad in (garbage, trunc_png, trunc_jpg):
+        batch = paths[:4] + [bad] + paths[4:]
+        assert native.decode_images(batch, 16, 16, num_threads=4) is None
+    # the pool recovers: a clean batch right after decodes fine
+    out = native.decode_images(paths, 16, 16, num_threads=4)
+    assert out is not None and out.shape == (9, 16, 16, 3)
+
+
 def test_datamanager_uses_native_path(tmp_path):
     from samnerf_tpu.data.datamanager import _load_images_batch
     rng = np.random.RandomState(1)
