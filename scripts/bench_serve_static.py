@@ -1,0 +1,160 @@
+"""Static-preset serve A/B: one trained model, many serve variants.
+
+VERDICT round-3 item #2: full-quality (train-count) static serving must
+beat 3.75 FPS/chip at 512^2.  The frame profile (scripts/profile_frame.py)
+splits the ~450 ms static frame into nerf encode ~137 ms, SAM pyramids
+~66 ms (k=8), proposals ~70 ms, fused MLPs/misc ~160 ms.  This script
+trains ONCE at reference capacity and then measures serve levers that do
+NOT change outputs' quality class, each through the shipped
+``SamNerfRenderer.serve_frame_fn`` path (the exact fn bench.py times):
+
+  base      v2 kernel, f32 MLPs, chunk 2^15 (the round-3 static number)
+  v4        touched-slab prefetch kernels (SAMNERF_HASH_KERNEL=v4)
+  slab16/8  finer slab granularity for the v2 scan skip (V2_SLAB)
+  bf16      bfloat16 serve MLPs (encode stays f32-accumulated)
+  chunk16   2^16-ray serve chunks (fewer, bigger dispatches)
+
+Parity PSNR of each variant's uint8 frame vs base is reported: bf16 must
+stay visually identical (>40 dB) to qualify; kernel/chunk variants are
+bit-exact candidates but parity is measured anyway.
+
+Run on the real TPU: python scripts/bench_serve_static.py [--steps 500]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+
+def psnr_u8(a, b):
+    mse = np.mean((a.astype(np.float32) - b.astype(np.float32)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20 * np.log10(255.0) - 10 * np.log10(mse)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--variants",
+                    default="base,v4,slab16,bf16,chunk16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from samnerf_tpu.core.cameras import Cameras
+    from samnerf_tpu.engine.render_pipeline import SamNerfRenderer
+    from samnerf_tpu.models.sam_model import SAMModel
+    from samnerf_tpu.ops import hash_pallas
+    from samnerf_tpu.perception.sam.build_sam import sam_model_registry
+    from samnerf_tpu.perception.sam.sam import Sam
+    from samnerf_tpu.utils.synthetic import write_textured_scene
+    from quality_capacity import train_and_eval
+
+    H = W = args.res
+    scene = write_textured_scene(
+        Path("/tmp/bench_train_scene"), num_train=args.views, num_test=2,
+        h=256, w=256, with_features=True, detail=4.0)
+    t0 = time.time()
+    _, trainer = train_and_eval(scene, 19, 17, args.steps, args.rays,
+                                args_views=args.views, hash_fn="morton",
+                                return_trainer=True, skip_metrics=True,
+                                persist_run=False)
+    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
+    params = trainer.state.params
+    base_cfg = dataclasses.replace(trainer.model.config, hash_q8_serve=True)
+
+    sam, _ = sam_model_registry["vit_b"]()
+    feat0 = jnp.zeros((1, 64, 64, 256))
+    pts0 = (jnp.zeros((1, 4, 2)), -jnp.ones((1, 4), jnp.int32))
+    dec_params = sam.init(jax.random.PRNGKey(1), feat0, pts0, None, None,
+                          False, method=Sam.decode_masks)
+
+    def cam_at(i):
+        ang = 0.02 * i
+        c = np.eye(4)[:3, :4].astype(np.float32)
+        c[0, 3] = 1.5 * np.sin(ang)
+        c[2, 3] = 1.5 * np.cos(ang)
+        return Cameras(camera_to_worlds=jnp.asarray(c[None]),
+                       fx=jnp.asarray([[400.0]]), fy=jnp.asarray([[400.0]]),
+                       cx=jnp.asarray([[W / 2.0]]),
+                       cy=jnp.asarray([[H / 2.0]]), width=W, height=H)
+
+    clicks = [(200.0 + 3.0 * i, 256.0 - 2.0 * i) for i in range(64)]
+
+    def measure(serve_fn):
+        out = np.asarray(serve_fn(params, cam_at(0), 0, clicks[0]))
+        np.asarray(serve_fn(params, cam_at(1), 0, clicks[1]))
+        n = 8
+        t0 = time.time()
+        pending = serve_fn(params, cam_at(2), 0, clicks[2])
+        for i in range(1, n + 1):
+            nxt = (serve_fn(params, cam_at(2 + i), 0, clicks[2 + i])
+                   if i < n else None)
+            np.asarray(pending)
+            pending = nxt
+        return n / (time.time() - t0), out
+
+    VARIANTS = {
+        "base": {},
+        "v4": {"kernel": "v4"},
+        "slab16": {"slab": 16},
+        "slab8": {"slab": 8},
+        "bf16": {"bf16": True},
+        "chunk16": {"chunk": 1 << 16},
+        "v4slab16": {"kernel": "v4", "slab": 16},
+        "bf16v4": {"kernel": "v4", "bf16": True},
+        "bf16slab16": {"slab": 16, "bf16": True},
+        "bf16slab8": {"slab": 8, "bf16": True},
+    }
+
+    results = []
+    ref = {}
+    for name in [v for v in args.variants.split(",") if v]:
+        spec = VARIANTS[name]
+        os.environ["SAMNERF_HASH_KERNEL"] = spec.get("kernel", "v2")
+        old_slab = hash_pallas.V2_SLAB
+        hash_pallas.V2_SLAB = spec.get("slab", old_slab)
+        cfg = base_cfg
+        if spec.get("bf16"):
+            cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        try:
+            snr = SamNerfRenderer(SAMModel(cfg),
+                                  chunk=spec.get("chunk", 1 << 15),
+                                  serve_preset="static")
+            serve = snr.serve_frame_fn(sam, dec_params, H, W,
+                                       preset="static")
+            t0 = time.time()
+            fps, frame = measure(serve)
+            if name == "base":
+                ref["frame"] = frame
+            parity = (psnr_u8(frame, ref["frame"])
+                      if "frame" in ref and name != "base" else float("inf"))
+            row = {"variant": name, "static_fps": round(fps, 3),
+                   "parity_psnr_vs_base": round(parity, 2),
+                   "compile_s": round(time.time() - t0)}
+        except Exception as e:
+            row = {"variant": name, "error": repr(e)[:200]}
+        finally:
+            hash_pallas.V2_SLAB = old_slab
+            os.environ.pop("SAMNERF_HASH_KERNEL", None)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    Path("/tmp/r4/serve_ab.json").write_text(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
