@@ -221,7 +221,8 @@ class Trainer:
             else:
                 path = ckpts[-1]
             self.load_checkpoint(path)
-            print(f"resumed from {path} at step {int(self.state.step)}")
+            print(f"resumed from {path} at step {int(self.state.step)}",
+                  flush=True)
 
     def train_iteration(self, step: int) -> Dict[str, float]:
         batch = self.datamanager.next_train(step)
@@ -318,7 +319,7 @@ class Trainer:
                 rate = (f"rays/s={num_rays * (step - warm_step) / max(time.time() - warm_t, 1e-9):,.0f}"
                         if step > warm_step else "rays/s=warmup")
                 print(f"step {step}: loss={m['total_loss']:.5f} "
-                      f"psnr={m['psnr']:.2f} {rate}")
+                      f"psnr={m['psnr']:.2f} {rate}", flush=True)
                 writer.put_dict("Train Loss Dict", m, step)
                 self.metrics_history.append((step, m))
             self.eval_iteration(step, n)

@@ -20,7 +20,8 @@ sys.path.insert(0, ".")
 def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
                    args_views=24, hash_fn="reference",
                    return_trainer=False, skip_metrics=False,
-                   persist_run=True, compute_dtype=None):
+                   persist_run=True, compute_dtype=None,
+                   steps_per_save=10 ** 9, run_name=None):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -44,9 +45,10 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
     dm = DataManager(dm_cfg)
     t0 = time.time()
     trainer_cfg = TrainerConfig(
-        max_num_iterations=steps, steps_per_save=10 ** 9,
+        max_num_iterations=steps, steps_per_save=steps_per_save,
         steps_per_eval_batch=10 ** 9,
-        output_dir=Path(f"/tmp/qruns/{log2_size}-{hash_fn}-{steps}"),
+        output_dir=Path(f"/tmp/qruns/"
+                        f"{run_name or f'{log2_size}-{hash_fn}-{steps}'}"),
         log_every=max(steps // 4, 1), save_final=persist_run)
     trainer = Trainer(model_cfg, trainer_cfg, preset.optimizers, dm)
     if persist_run:

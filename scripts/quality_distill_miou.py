@@ -107,6 +107,13 @@ def main():
     ap.add_argument("--plog2", type=int, default=17)
     ap.add_argument("--test-views", type=int, default=4)
     ap.add_argument("--out", default="docs/QUALITY.md")
+    ap.add_argument("--persist", action="store_true",
+                    help="persist the run (config.json + checkpoints "
+                         "every --save-every steps + final + eval-image "
+                         "PNGs) — used for the full reference-schedule "
+                         "run (samconfigs.py:109,120-121: 10k x 16384)")
+    ap.add_argument("--save-every", type=int, default=2500)
+    ap.add_argument("--run-name", default=None)
     args = ap.parse_args()
 
     from samnerf_tpu.utils.synthetic import write_textured_scene
@@ -121,11 +128,20 @@ def main():
 
     print(f"--- training samnerf_distill 2^{args.log2} "
           f"({args.steps} x {args.rays} rays)", flush=True)
+    t_train = time.time()
     m, trainer = train_and_eval(scene, args.log2, args.plog2, args.steps,
                                 args.rays, args_views=args.views,
                                 hash_fn="morton",  # +22%, quality parity
-                                return_trainer=True, persist_run=False)
+                                return_trainer=True,
+                                persist_run=args.persist,
+                                steps_per_save=(args.save_every
+                                                if args.persist else 10 ** 9),
+                                run_name=args.run_name)
+    t_train = time.time() - t_train
     print(m, flush=True)
+    print(f"train+metrics wall: {t_train:.0f}s "
+          f"({args.steps * args.rays / max(m.get('train_s', t_train), 1):,.0f}"
+          " rays/s)", flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -139,7 +155,11 @@ def main():
     train_cams = jax.tree.map(jnp.asarray, dm.cameras)
     pred = SamPredictor(sam, sam_params)
 
-    def view_miou(cam_tree, i, gt_path=None):
+    run_dir = Path(f"/tmp/qruns/{args.run_name}") if args.run_name else None
+    if args.persist and run_dir is not None:
+        (run_dir / "eval_images").mkdir(parents=True, exist_ok=True)
+
+    def view_miou(cam_tree, i, gt_path=None, tag="test"):
         """Returns (mIoU vs rendered-rgb masks, mIoU vs GT-image masks).
 
         The second column is the reference's actual serving claim:
@@ -150,6 +170,10 @@ def main():
         out = renderer.render_image(trainer.state.params, cam_tree, i,
                                     features=("sam",))
         rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
+        if args.persist and run_dir is not None:
+            from PIL import Image
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                run_dir / "eval_images" / f"{tag}_{i}_render.png")
         H, W = rgb.shape[:2]
         rendered = np.asarray(out["sam"])          # [fh, fw, 256]
         fh, fw = get_feature_size(H, W)
@@ -180,7 +204,8 @@ def main():
     train_rows = []
     for i in range(min(2, dm.cameras.num_cameras)):
         t0 = time.time()
-        v, v_gt = view_miou(train_cams, i, gt_path=train_paths[i])
+        v, v_gt = view_miou(train_cams, i, gt_path=train_paths[i],
+                            tag="train")
         train_rows.append((v, v_gt))
         print(f"  TRAIN view {i}: mIoU vs set_image(render) = {v:.4f}, "
               f"vs set_image(GT) = {v_gt:.4f}  ({time.time()-t0:.0f}s)",
@@ -235,6 +260,13 @@ def main():
                 f"{m.get('sam_feature_mse', float('nan')):.4f}, "
                 f"cos {m.get('sam_feature_cos', float('nan')):.4f} "
                 "(vs ViT targets).",
+                f"Training wall-clock {m.get('train_s', 0):.0f}s "
+                f"({m.get('rays_per_s', 0):,} rays/s) for "
+                f"{args.steps} x {args.rays} rays, one v5e chip"
+                + (f"; run persisted with checkpoints every "
+                   f"{args.save_every} steps + eval renders "
+                   f"(/tmp/qruns/{args.run_name})." if args.persist
+                   else "."),
                 "(generated by scripts/quality_distill_miou.py)"]
     out_p = Path(args.out)
     txt = out_p.read_text() if out_p.exists() else "# Quality\n"
