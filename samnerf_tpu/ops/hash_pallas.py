@@ -138,29 +138,48 @@ def _corner_index_math(x, y, z, scale, dense, half, num_steps, s0, s1, s2,
         idx = ((cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
                ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
                ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
-        if hash_fn == "morton":
-            idx = _morton_mix(idx, cx, cy, cz, scale, num_steps)
+        if hash_fn.startswith("morton"):
+            idx = _morton_mix(idx, cx, cy, cz, scale, num_steps,
+                              morton_key_width(hash_fn))
     lo = (idx & jnp.uint32(LANES - 1)).astype(jnp.int32)
     hi = ((idx >> 7) & jnp.uint32(num_steps - 1)).astype(jnp.int32)
     return lo, hi, w
 
 
-def _morton_mix(idx_hash, cx, cy, cz, scale, num_steps):
-    """Locality-preserving remix: top 4 index bits = coarse spatial key
-    (half-space bits of x/y/z + the second x bit); the scrambling hash
-    keeps the rest.  Collisions stay within coarse regions, so coherent
-    point tiles touch few table slabs (skipped via mask_s)."""
+def morton_key_width(hash_fn: str) -> int:
+    """Spatial key width of a "morton[N]" hash_fn string (default 4)."""
+    if hash_fn.startswith("morton") and hash_fn[6:]:
+        return int(hash_fn[6:])
+    return 4
+
+
+def _morton_mix(idx_hash, cx, cy, cz, scale, num_steps,
+                key_bits: int = 4):
+    """Locality-preserving remix: top ``key_bits`` index bits = coarse
+    spatial key (interleaved half-space bits of x/y/z, then the next
+    octave: x2, y2, z2, x4, ...); the scrambling hash keeps the rest.
+    Collisions stay within coarse regions, so coherent point tiles touch
+    few table slabs (skipped via the kernels' membership masks).
+
+    Wider keys give the slab skip finer spatial resolution (key_bits=6 ->
+    64 regions instead of 8 octants) at the cost of hash adaptivity: each
+    region owns a FIXED 2^-key_bits slice of the table, so scenes whose
+    content concentrates in few regions lose effective capacity.  Quality
+    must be re-measured when raising it (train and serve must agree)."""
     bits = int(np.log2(num_steps * LANES))
     inv = 1.0 / jnp.maximum(jnp.float32(scale), 1.0)
     ux = cx.astype(jnp.float32) * inv
     uy = cy.astype(jnp.float32) * inv
     uz = cz.astype(jnp.float32) * inv
-    key = ((ux >= 0.5).astype(jnp.uint32) << 3
-           | (uy >= 0.5).astype(jnp.uint32) << 2
-           | (uz >= 0.5).astype(jnp.uint32) << 1
-           | ((ux * 2.0 - jnp.floor(ux * 2.0)) >= 0.5).astype(jnp.uint32))
-    return (key << (bits - 4)) | (idx_hash
-                                  & jnp.uint32((1 << (bits - 4)) - 1))
+    key = jnp.zeros_like(idx_hash)
+    axes = (ux, uy, uz)
+    for b in range(key_bits):
+        octave = b // 3            # 0 = half-space, 1 = quarter, ...
+        v = axes[b % 3] * float(1 << octave)
+        bit = ((v - jnp.floor(v)) >= 0.5).astype(jnp.uint32)
+        key = (key << 1) | bit
+    return (key << (bits - key_bits)) | (
+        idx_hash & jnp.uint32((1 << (bits - key_bits)) - 1))
 
 
 def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
@@ -196,8 +215,9 @@ def _corner_index_math_dyn(x, y, z, scale, dense, half, num_steps,
     idx_hash = ((cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
                 ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
                 ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
-    if hash_fn == "morton":
-        idx_hash = _morton_mix(idx_hash, cx, cy, cz, scale, num_steps)
+    if hash_fn.startswith("morton"):
+        idx_hash = _morton_mix(idx_hash, cx, cy, cz, scale, num_steps,
+                               morton_key_width(hash_fn))
     idx = jnp.where(dense != 0, idx_dense, idx_hash)
     lo = (idx & jnp.uint32(LANES - 1)).astype(jnp.int32)
     hi = ((idx >> 7) & jnp.uint32(num_steps - 1)).astype(jnp.int32)
@@ -415,12 +435,58 @@ def _plan_meta(plan, num_steps: int, num_packed: int):
     return jnp.asarray(meta), jnp.asarray(scale)
 
 
+def _group_skip_enabled(n_slabs: int, tile: int,
+                        has_live: bool = False) -> bool:
+    """Per-128-point-group slab skipping (see _fwd_kernel_v2): the group
+    bitmask needs one int32 per group, so it requires n_slabs <= 32, and
+    only helps when a tile holds more than one group.
+
+    Default: ON only for live-masked calls (dead groups skip their slab
+    scans entirely — the win that motivated it; measured on TPU).  On
+    dense all-live tiles the s==0 mask build + per-group ``pl.when``
+    dispatch measured ~35% SLOWER than the plain tile-level skip
+    (1.90 ms vs 1.40 ms at serve shapes, /tmp/r4/verify_gs.log), so
+    dense calls need the env opt-in SAMNERF_GROUP_SKIP=1 (A/B hook);
+    SAMNERF_GROUP_SKIP=0 force-disables everywhere."""
+    import os
+    env = os.environ.get("SAMNERF_GROUP_SKIP", "")
+    if env == "0":
+        return False
+    if not (1 < n_slabs <= 32 and tile > LANES):
+        return False
+    return has_live or env == "1"
+
+
+def _group_mask_words(sl_of, dead, n_slabs: int, tile: int):
+    """Per-128-lane-group touched-slab bitmasks.
+
+    sl_of [8, tile] int32 slab ids; dead [1, tile] (>0 marks a dead
+    point whose slabs are excluded) or None.  Returns a list of
+    tile//LANES scalar int32 words, bit sl set iff some live point's
+    corner in the group resolves to slab sl.  Bit 31 wraps to the int32
+    sign bit; (word >> sl) & 1 still extracts it exactly."""
+    words = []
+    for g in range(tile // LANES):
+        cols = slice(g * LANES, (g + 1) * LANES)
+        slg = sl_of[:, cols]
+        alive = None if dead is None else (dead[:, cols] <= 0.0)
+        word = None
+        for sl in range(n_slabs):
+            t = (slg == sl) if alive is None else ((slg == sl) & alive)
+            bit = jnp.max(t.astype(jnp.int32)) << sl
+            word = bit if word is None else word | bit
+        words.append(word)
+    return words
+
+
 def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
-                   lo_s, hi_s, w_s, mask_s, *, num_steps: int, tile: int,
-                   slab: int, hash_fn: str = "reference"):
+                   lo_s, hi_s, w_s, mask_s, gmask_s, *, num_steps: int,
+                   tile: int, slab: int, hash_fn: str = "reference",
+                   group_skip: bool = False, has_live: bool = False):
     """grid (PL, tiles, slabs).  Blocks: meta [PL, 4] / scale [PL, 1]
-    (SMEM, full), pos [8, tile] (constant in s), table [1, slab*8, 128]
-    (the s-th slab of (pack, level) l — STATIC in-slab slices so Mosaic
+    (SMEM, full), pos [8, tile] (constant in s; row 3 carries optional
+    dead-point flags, >0 = dead), table [1, slab*8, 128] (the s-th slab
+    of (pack, level) l — STATIC in-slab slices so Mosaic
     register-allocates the scan), out [1, 2, tile] accumulated in VMEM
     across the slab sweep.  Scratch lo/hi/w [8, tile] cache the corner
     index math, computed once per (l, i) at s == 0; ``mask_s`` [slabs]
@@ -428,6 +494,15 @@ def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
     skip their scan entirely (spatially coherent tiles under a
     locality-preserving hash, and every out-of-range slab of dense
     coarse levels).
+
+    ``group_skip``: additionally keep a per-128-point-group slab
+    bitmask (``gmask_s`` [tile//128] int32, SMEM) — a group only scans
+    the slabs its own corners resolve to.  Serve tiles are 1024-ray
+    pixel blocks x 8 depths; one group is ~a 32x4-pixel patch at ONE
+    depth, so its morton-region (= slab) footprint is much smaller than
+    the tile's.  With ``has_live``, dead points contribute no mask bits:
+    fully-dead groups scan nothing and output zeros (outputs at dead
+    points are unspecified — callers gate on liveness downstream).
 
     A (point, corner) matches exactly one row-group in the whole table,
     so per-slab contributions are disjoint and the weighted partial sums
@@ -455,13 +530,25 @@ def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         w_s[...] = w
         out_ref[...] = jnp.zeros_like(out_ref)
         sl_of = hi >> slab_shift
-        for sl in range(n_slabs):
-            mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
+        dead = pos_ref[3:4, :] if has_live else None
+        if group_skip:
+            words = _group_mask_words(sl_of, dead, n_slabs, tile)
+            tile_word = words[0]
+            for g, word in enumerate(words):
+                gmask_s[g] = word
+                if g:
+                    tile_word = tile_word | word
+            for sl in range(n_slabs):
+                mask_s[sl] = (tile_word >> sl) & 1
+        else:
+            for sl in range(n_slabs):
+                mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
 
     @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
     def _scan_slab():
         base = s_id * slab
-        for j in range(tile // LANES):
+
+        def scan_group(j):
             cols = slice(j * LANES, (j + 1) * LANES)
             lo = lo_s[:, cols]
             hi = hi_s[:, cols] - base     # in-slab step index
@@ -477,14 +564,24 @@ def _fwd_kernel_v2(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
             out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
+        for j in range(tile // LANES):
+            if group_skip:
+                pl.when(((gmask_s[j] >> s_id) & 1) > 0)(
+                    functools.partial(scan_group, j))
+            else:
+                scan_group(j)
+
 
 def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile,
-                 hash_fn="reference"):
+                 hash_fn="reference", has_live: bool = False):
     pl_rows = packed_table.shape[0]
     n = positions_t.shape[1]
     slab = min(V2_SLAB, num_steps)
+    n_slabs = max(num_steps // slab, 1)
+    group_skip = _group_skip_enabled(n_slabs, tile, has_live)
     kern = functools.partial(_fwd_kernel_v2, num_steps=num_steps, tile=tile,
-                             slab=slab, hash_fn=hash_fn)
+                             slab=slab, hash_fn=hash_fn,
+                             group_skip=group_skip, has_live=has_live)
     return pl.pallas_call(
         kern,
         grid=(pl_rows, n // tile, num_steps // slab),
@@ -501,7 +598,8 @@ def _fwd_call_v2(packed_table, positions_t, meta, scale, *, num_steps, tile,
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.float32),
-            pltpu.SMEM((max(num_steps // slab, 1),), jnp.int32),
+            pltpu.SMEM((n_slabs,), jnp.int32),
+            pltpu.SMEM((max(tile // LANES, 1),), jnp.int32),
         ],
     )(meta, scale, positions_t, packed_table)
 
@@ -954,12 +1052,15 @@ def quantize_parity_table(table: jax.Array):
 
 
 def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
-                   lo_s, hi_s, w_s, mask_s, *, num_steps: int, tile: int,
-                   slab: int, n_slabs: int, hash_fn: str = "reference"):
+                   lo_s, hi_s, w_s, mask_s, gmask_s, *, num_steps: int,
+                   tile: int, slab: int, n_slabs: int,
+                   hash_fn: str = "reference", group_skip: bool = False,
+                   has_live: bool = False):
     """q8 variant of _fwd_kernel_v2: same slab grid (incl. the per-tile
-    slab-membership skip), half the row-groups; the scan selects packed
-    u32 lanes, the selected lane's byte pair is sign-extended and
-    dequantized per slab."""
+    and optional per-group slab-membership skips and dead-point flags in
+    pos row 3), half the row-groups; the scan selects packed u32 lanes,
+    the selected lane's byte pair is sign-extended and dequantized per
+    slab."""
     slab_shift = slab.bit_length() - 1
     pid = pl.program_id(0)
     s_id = pl.program_id(2)
@@ -983,13 +1084,25 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         w_s[...] = w
         out_ref[...] = jnp.zeros_like(out_ref)
         sl_of = hi8 >> slab_shift
-        for sl in range(n_slabs):
-            mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
+        dead = pos_ref[3:4, :] if has_live else None
+        if group_skip:
+            words = _group_mask_words(sl_of, dead, n_slabs, tile)
+            tile_word = words[0]
+            for g, word in enumerate(words):
+                gmask_s[g] = word
+                if g:
+                    tile_word = tile_word | word
+            for sl in range(n_slabs):
+                mask_s[sl] = (tile_word >> sl) & 1
+        else:
+            for sl in range(n_slabs):
+                mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
 
     @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
     def _scan_slab():
         base = s_id * slab
-        for j in range(tile // LANES):
+
+        def scan_group(j):
             cols = slice(j * LANES, (j + 1) * LANES)
             lo = lo_s[:, cols] & (LANES - 1)
             halfbit = lo_s[:, cols] >> 8
@@ -1009,6 +1122,13 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
                 .astype(jnp.float32) * qscale
             out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
+
+        for j in range(tile // LANES):
+            if group_skip:
+                pl.when(((gmask_s[j] >> s_id) & 1) > 0)(
+                    functools.partial(scan_group, j))
+            else:
+                scan_group(j)
 
 
 def _fwd_kernel_q8v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref,
@@ -1123,10 +1243,18 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
     n_slabs = max(steps8 // slab, 1)
     if live is not None:
         live = live.reshape(n)
-    if _kernel_version() == "v2" and live is None:
+    group_skip = _group_skip_enabled(n_slabs, tile, live is not None)
+    if _kernel_version() == "v2" and (live is None or group_skip):
+        has_live = live is not None
+        if has_live:
+            # dead flags ride pos row 3 (>0 = dead); dead points
+            # contribute no group-mask bits, so fully-dead groups skip
+            # index math's slabs entirely and output zeros
+            pos_t = pos_t.at[3].set(1.0 - live.astype(jnp.float32))
         kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps,
                                  tile=tile, slab=slab, n_slabs=n_slabs,
-                                 hash_fn=hash_fn)
+                                 hash_fn=hash_fn, group_skip=group_skip,
+                                 has_live=has_live)
         out = pl.pallas_call(
             kern,
             grid=(pl_rows, n // tile, n_slabs),
@@ -1144,6 +1272,7 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
                 pltpu.VMEM((PARITIES, tile), jnp.int32),
                 pltpu.VMEM((PARITIES, tile), jnp.float32),
                 pltpu.SMEM((n_slabs,), jnp.int32),
+                pltpu.SMEM((max(tile // LANES, 1),), jnp.int32),
             ],
         )(meta, sc, pos_t, jax.lax.stop_gradient(packed_q8))
         return _internal_to_public(out, num_packed, num_levels, n)
@@ -1351,11 +1480,18 @@ def _fwd(table, positions, scalings, num_steps, tile, hash_fn="reference",
     if _use_v2(num_steps, table.shape[0]) or hash_fn != "reference":
         meta, scale = _plan_meta(plan, num_steps, num_packed)
         t = tile or _pick_tile(n, 8192)
-        if _kernel_version() == "v2" and live is None:
-            out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
-                               num_steps=num_steps, tile=t, hash_fn=hash_fn)
-            return _internal_to_public(out, num_packed, num_levels, n)
         slab = min(V2_SLAB, num_steps)
+        group_skip = _group_skip_enabled(max(num_steps // slab, 1), t,
+                                         live is not None)
+        if _kernel_version() == "v2" and (live is None or group_skip):
+            has_live = live is not None
+            if has_live:
+                pos_t = pos_t.at[3].set(
+                    1.0 - live.reshape(n).astype(jnp.float32))
+            out = _fwd_call_v2(pack_table(table), pos_t, meta, scale,
+                               num_steps=num_steps, tile=t, hash_fn=hash_fn,
+                               has_live=has_live)
+            return _internal_to_public(out, num_packed, num_levels, n)
         if live is not None:
             live = live.reshape(n)
         ids = _touched_slab_ids(pos_t, plan, num_steps, t, slab, hash_fn,

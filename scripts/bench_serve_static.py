@@ -13,12 +13,17 @@ NOT change outputs' quality class, each through the shipped
   slab16/8  finer slab granularity for the v2 scan skip (V2_SLAB)
   bf16      bfloat16 serve MLPs (encode stays f32-accumulated)
   chunk16   2^16-ray serve chunks (fewer, bigger dispatches)
+  gs1       per-128-point-group slab skip on dense tiles
+            (SAMNERF_GROUP_SKIP=1; default OFF after the micro-A/B
+            measured it slower on all-live tiles — verify_gs.log)
 
 Parity PSNR of each variant's uint8 frame vs base is reported: bf16 must
 stay visually identical (>40 dB) to qualify; kernel/chunk variants are
 bit-exact candidates but parity is measured anyway.
 
 Run on the real TPU: python scripts/bench_serve_static.py [--steps 500]
+The trained model persists to /tmp/qruns/<run-name> (config.json + ckpt);
+re-run variants without retraining via --load /tmp/qruns/<run-name>.
 """
 import argparse
 import dataclasses
@@ -49,6 +54,16 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--variants",
                     default="base,v4,slab16,bf16,chunk16")
+    ap.add_argument("--load", default=None,
+                    help="run dir from a previous invocation "
+                         "(/tmp/qruns/<run-name>): reuse its checkpoint "
+                         "instead of retraining")
+    ap.add_argument("--run-name", default="serve_ab",
+                    help="persisted run dir name under /tmp/qruns")
+    ap.add_argument("--hash-fn", default="morton",
+                    help="training hash_fn (morton / morton6 / reference); "
+                         "serve inherits it from the saved model config")
+    ap.add_argument("--out", default="/tmp/r4/serve_ab.json")
     args = ap.parse_args()
 
     import jax
@@ -64,15 +79,24 @@ def main():
     from quality_capacity import train_and_eval
 
     H = W = args.res
-    scene = write_textured_scene(
-        Path("/tmp/bench_train_scene"), num_train=args.views, num_test=2,
-        h=256, w=256, with_features=True, detail=4.0)
-    t0 = time.time()
-    _, trainer = train_and_eval(scene, 19, 17, args.steps, args.rays,
-                                args_views=args.views, hash_fn="morton",
-                                return_trainer=True, skip_metrics=True,
-                                persist_run=False)
-    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
+    if args.load:
+        from samnerf_tpu.utils.eval_utils import eval_setup
+        t0 = time.time()
+        trainer, _ = eval_setup(Path(args.load))
+        print(f"loaded {args.load} in {time.time()-t0:.0f}s", flush=True)
+    else:
+        scene = write_textured_scene(
+            Path("/tmp/bench_train_scene"), num_train=args.views,
+            num_test=2, h=256, w=256, with_features=True, detail=4.0)
+        t0 = time.time()
+        _, trainer = train_and_eval(scene, 19, 17, args.steps, args.rays,
+                                    args_views=args.views,
+                                    hash_fn=args.hash_fn,
+                                    return_trainer=True, skip_metrics=True,
+                                    persist_run=True,
+                                    run_name=args.run_name)
+        print(f"trained {args.steps} steps in {time.time()-t0:.0f}s "
+              f"(run dir /tmp/qruns/{args.run_name})", flush=True)
     params = trainer.state.params
     base_cfg = dataclasses.replace(trainer.model.config, hash_q8_serve=True)
 
@@ -118,6 +142,8 @@ def main():
         "bf16v4": {"kernel": "v4", "bf16": True},
         "bf16slab16": {"slab": 16, "bf16": True},
         "bf16slab8": {"slab": 8, "bf16": True},
+        "gs1": {"gs": "1"},             # dense-tile group skip (opt-in)
+        "gs1slab16": {"gs": "1", "slab": 16},
     }
 
     results = []
@@ -125,6 +151,8 @@ def main():
     for name in [v for v in args.variants.split(",") if v]:
         spec = VARIANTS[name]
         os.environ["SAMNERF_HASH_KERNEL"] = spec.get("kernel", "v2")
+        if "gs" in spec:
+            os.environ["SAMNERF_GROUP_SKIP"] = spec["gs"]
         old_slab = hash_pallas.V2_SLAB
         hash_pallas.V2_SLAB = spec.get("slab", old_slab)
         cfg = base_cfg
@@ -150,10 +178,10 @@ def main():
         finally:
             hash_pallas.V2_SLAB = old_slab
             os.environ.pop("SAMNERF_HASH_KERNEL", None)
+            os.environ.pop("SAMNERF_GROUP_SKIP", None)
         results.append(row)
         print(json.dumps(row), flush=True)
-
-    Path("/tmp/r4/serve_ab.json").write_text(json.dumps(results, indent=1))
+        Path(args.out).write_text(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":

@@ -1,16 +1,23 @@
 #!/bin/bash
 # Round-4 TPU queue: the long evidence runs, serialized on the one chip.
-# Launch:  nohup bash scripts/run_round4_queue.sh > /tmp/r4/queue.log 2>&1 &
+# Items are launched INDIVIDUALLY (not as one monolithic script) so
+# interactive kernel A/B work can be scheduled between them; this file
+# records the actual invocations used this round.
 set -x
 cd /root/repo
 
 # 1) Full zoo validation sweep -> docs/ZOO.md (VERDICT #1).
-#    Per-method step budgets: pure-MLP methods need more steps to clear
-#    trivial+3dB; the very slow ones (mipnerf 2s/step, nerfplayer 2-5s/step)
-#    get bounded budgets so the sweep stays ~2h.
-python scripts/validate_zoo.py --methods \
-vanilla-nerf:2400,tensorf:2000,instant-ngp:1200,depth-nerfacto:1000,semantic-nerfw:1000,mipnerf:1200,nerfplayer-nerfacto:500,nerfplayer-ngp:600 \
+#    Protocol informed by the round-3-tail quick sweep (/tmp/r4/zoo_quick.md):
+#    - 64 train views (24 views let the grid methods memorize: instant-ngp
+#      hit train-PSNR ~32 dB / eval 13.4 — an overfit gap, not a bug);
+#    - per-method step budgets sized by MEASURED per-step cost: vanilla-nerf
+#      steps are 0.076s (its 1342s quick run was ~1250s compile), so it gets
+#      14k steps; nerfplayer-* are 2.5-4s/step so they get few.
+python scripts/validate_zoo.py --views 64 --methods \
+semantic-nerfw:8000,depth-nerfacto:8000,instant-ngp:2000,vanilla-nerf:14000,mipnerf:4000,tensorf:2500,nerfplayer-ngp:600,nerfplayer-nerfacto:400 \
   --out docs/ZOO.md 2>&1 | tee /tmp/r4/zoo_full.log
+
+# (interactive serve-kernel A/B work happens here)
 
 # 2) Full reference-schedule training run (samconfigs.py:109,120-121:
 #    10k steps x 16384 rays) + the upgraded closed-loop mIoU study on its

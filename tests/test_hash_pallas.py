@@ -562,3 +562,123 @@ def test_sorted_encoding_module_cpu_fallback():
     assert out.shape == (130, 4) and np.isfinite(np.asarray(out)).all()
     g = jax.grad(lambda p: jnp.sum(enc.apply(p, pos) ** 2))(params)
     assert float(jnp.max(jnp.abs(g["params"]["table"]))) > 0
+
+
+def test_morton_key_width_parse():
+    assert hp.morton_key_width("morton") == 4
+    assert hp.morton_key_width("morton5") == 5
+    assert hp.morton_key_width("morton6") == 6
+
+
+def test_morton_wide_key_kernel_matches_ref(monkeypatch):
+    """v2 kernel under hash_fn='morton6' (wider spatial key) == the jnp
+    reference with the same key width; morton6 indexes differently from
+    the default 4-bit key; default 'morton' unchanged vs 'morton4'."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=3, steps=8, N=512, min_res=8,
+                                  max_res=128)
+    for hf in ("morton5", "morton6"):
+        ref = hp.parity_hash_encode_ref(table, pos, scalings, 8, hf)
+        out = hp.parity_hash_encode(table, pos, scalings, 8, 0, hf)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+    r4 = hp.parity_hash_encode_ref(table, pos, scalings, 8, "morton")
+    r4b = hp.parity_hash_encode_ref(table, pos, scalings, 8, "morton4")
+    np.testing.assert_array_equal(np.asarray(r4), np.asarray(r4b))
+    r6 = hp.parity_hash_encode_ref(table, pos, scalings, 8, "morton6")
+    assert float(jnp.max(jnp.abs(r6 - r4))) > 0
+
+
+def test_group_skip_v2_matches_reference(monkeypatch):
+    """Per-128-point-group slab skip: multi-group tiles on random AND
+    coherent points == the jnp reference (a wrongly-skipped group slab
+    would zero some output; disjointness makes double-counts visible)."""
+    _interp(monkeypatch)
+    monkeypatch.setenv("SAMNERF_GROUP_SKIP", "1")   # dense tiles: opt-in
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    # patch BEFORE _plan_meta: it reads V2_SLAB at call time, and the
+    # kernel's slab sweep must agree with the meta's slab count.
+    # tile=512 -> 4 groups/tile; V2_SLAB=2 -> n_slabs=4 so skips bite.
+    monkeypatch.setattr(hp, "V2_SLAB", 2)
+    assert hp._group_skip_enabled(4, 512)
+    meta, scale = hp._plan_meta(hp._level_plan(scalings, 8), 8, 1)
+    t = np.linspace(0, 1, 512, dtype=np.float32)
+    coherent = jnp.asarray(
+        np.stack([0.4 + 0.05 * t, 0.5 + 0.04 * np.sin(3 * t),
+                  0.45 + 0.05 * t], -1))
+    for hf in ("reference", "morton", "morton6"):
+        for pts in (pos, coherent):
+            ref = hp.parity_hash_encode_ref(table, pts, scalings, 8, hf)
+            pos_t = jnp.zeros((8, 512)).at[:3].set(pts.T)
+            out = hp._fwd_call_v2(hp.pack_table(table), pos_t, meta, scale,
+                                  num_steps=8, tile=512, hash_fn=hf)
+            out = hp._internal_to_public(out, 1, 4, 512)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6, err_msg=hf)
+
+
+def test_group_skip_live_zeroes_dead_groups(monkeypatch):
+    """f32 v2 serve path with a live mask: dead 128-point GROUPS output
+    zeros, live groups match the reference (dead points excluded from
+    group masks; group granularity, finer than the old v4 tile skip)."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(hp, "V2_SLAB", 2)
+    scalings, table, pos = _setup(L=3, steps=8, N=512)
+    live = np.ones(512, np.float32)
+    live[128:256] = 0.0          # dead group 1 of tile 0 (tile=512)
+    live[400] = 0.0              # dead point inside live group 3
+    ref = hp.parity_hash_encode_ref(table, pos, scalings, 8, "morton")
+    out = np.asarray(hp.parity_hash_encode_serve(
+        table, pos, scalings, 8, 512, "morton", live=jnp.asarray(live)))
+    assert (out[128:256] == 0).all()
+    np.testing.assert_allclose(out[:128], np.asarray(ref)[:128],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[256:400], np.asarray(ref)[256:400],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[401:], np.asarray(ref)[401:],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_group_skip_q8_matches_ref_and_live(monkeypatch):
+    """q8 v2 kernel with group skip: parity vs the q8 reference, and the
+    live path zeroes dead groups while leaving live groups exact."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=3, steps=16, N=512)
+    packed, scales = hp.quantize_parity_table(table)
+    # q8 steps8 = 8; V2_SLAB=2 -> n_slabs=4 (group skip active at tile 512)
+    monkeypatch.setattr(hp, "V2_SLAB", 2)
+    for hf in ("morton", "reference"):
+        ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings,
+                                            16, hf)
+        out = hp.parity_hash_encode_q8(packed, scales, pos, scalings, 16,
+                                       hash_fn=hf, tile=512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+        live = np.ones(512, np.float32)
+        live[256:384] = 0.0
+        out_l = np.asarray(hp.parity_hash_encode_q8(
+            packed, scales, pos, scalings, 16, hash_fn=hf,
+            live=jnp.asarray(live), tile=512))
+        assert (out_l[256:384] == 0).all(), hf
+        np.testing.assert_allclose(out_l[:256], np.asarray(ref)[:256],
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+        np.testing.assert_allclose(out_l[384:], np.asarray(ref)[384:],
+                                   rtol=1e-5, atol=1e-6, err_msg=hf)
+
+
+def test_group_skip_enabled_rule(monkeypatch):
+    # default: only live-masked calls use group skip (dense all-live
+    # tiles measured slower with it — see _group_skip_enabled docstring)
+    assert not hp._group_skip_enabled(8, 8192)
+    assert hp._group_skip_enabled(8, 8192, has_live=True)
+    assert not hp._group_skip_enabled(1, 8192, has_live=True)   # 1 slab
+    assert not hp._group_skip_enabled(64, 8192, has_live=True)  # > 32 bits
+    assert not hp._group_skip_enabled(8, 128, has_live=True)    # 1 group
+    monkeypatch.setenv("SAMNERF_GROUP_SKIP", "1")   # dense opt-in
+    assert hp._group_skip_enabled(8, 8192)
+    monkeypatch.setenv("SAMNERF_GROUP_SKIP", "0")   # force-off everywhere
+    assert not hp._group_skip_enabled(8, 8192)
+    assert not hp._group_skip_enabled(8, 8192, has_live=True)
