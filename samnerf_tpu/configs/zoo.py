@@ -36,6 +36,14 @@ class ZooMethod:
     """Per-method Adam lr (the reference registers per-method optimizers
     in ``method_configs.py``: ~1e-2 for grid methods, 5e-4 for the pure
     MLP fields, which diverge at grid rates)."""
+    dispatch_chunk: int = 16
+    """Steps fused per device dispatch (lax.scan length in
+    ``make_zoo_train_chunk``).  Methods with multi-second steps must use
+    short chunks: a single dispatch running ~a minute on device gets the
+    TPU worker killed (isolated on the nerfplayer variants — a 16-step
+    scan of the same jitted step that passes alone crashes the worker,
+    /tmp/np_scan.py; every fast method's 16-step chunk stays well under
+    the limit)."""
 
 
 def _vanilla():
@@ -101,10 +109,11 @@ def zoo_methods() -> Dict[str, ZooMethod]:
                                     semantic_nerfw.get_loss_dict,
                                     loss_needs_config=True),
         "nerfplayer-nerfacto": ZooMethod("nerfplayer-nerfacto", _nerfplayer,
-                                         nerfplayer.get_loss_dict),
+                                         nerfplayer.get_loss_dict,
+                                         dispatch_chunk=2),
         "nerfplayer-ngp": ZooMethod("nerfplayer-ngp", _nerfplayer,
                                     nerfplayer.get_loss_dict,
-                                    use_occupancy=True),
+                                    use_occupancy=True, dispatch_chunk=2),
     }
 
 

@@ -409,6 +409,10 @@ def _bwd_call(positions_t, g, *, plan, num_steps, num_packed, num_levels,
 #   matmuls on the MXU (batched over the 8 parity classes).
 
 V2_SLAB = 32           # fwd scan steps per grid slab (static slices inside)
+V2_SLAB_SERVE = 16     # q8 (serve-only) slab: finer slabs give the
+#   per-tile touched-slab skip better resolution on coherent serve
+#   tiles; +14% static-frame FPS vs 32 (docs/SERVE_AB_r4.json), while
+#   random training batches were never measured to benefit.
 V2_BWD_CHUNK = 64      # bwd one-hot matmul rows per chunk
 
 
@@ -1197,7 +1201,7 @@ def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
     quantization scale) pairs."""
     num_levels = len(plan)
     steps8 = max(num_steps // 2, 1)
-    slab = min(V2_SLAB, steps8)
+    slab = min(min(V2_SLAB_SERVE, V2_SLAB), steps8)
     meta = np.zeros((num_packed * num_levels, 4), np.int32)
     sc = np.zeros((num_packed * num_levels, 2), np.float32)
     for p in range(num_packed):

@@ -233,8 +233,11 @@ def train_zoo(name: str, argv) -> int:
     # host/tunnel gap otherwise dominates these small models; the
     # flagship Trainer uses the same pattern).  The iteration count is
     # rounded UP to a chunk multiple so there is exactly one compiled
-    # shape; the chunk matches the occupancy-EMA cadence.
-    chunk = occ_every
+    # shape.  Slow-step methods use a short per-method chunk
+    # (ZooMethod.dispatch_chunk) — a single multi-minute dispatch gets
+    # the TPU worker killed; the occupancy-EMA cadence stays occ_every
+    # steps regardless.
+    chunk = method.dispatch_chunk
     n_chunks = -(-args.max_num_iterations // chunk)
     t0 = time.time()
     for c in range(n_chunks):
@@ -246,7 +249,7 @@ def train_zoo(name: str, argv) -> int:
         rngs = jnp.stack([jax.random.PRNGKey(args.seed + s)
                           for s in range(start, start + chunk)])
         if method.use_occupancy:
-            if start > occ_warmup:
+            if start > occ_warmup and (start - 1) % occ_every < chunk:
                 # distinct key stream from the training keys
                 # PRNGKey(seed+s): fold the step into a tagged base key.
                 # (The one-chunk warmup shift vs the reference's exact

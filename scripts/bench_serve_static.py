@@ -144,6 +144,12 @@ def main():
         "bf16slab8": {"slab": 8, "bf16": True},
         "gs1": {"gs": "1"},             # dense-tile group skip (opt-in)
         "gs1slab16": {"gs": "1", "slab": 16},
+        # occupancy-culled serve with the cull mask forwarded into the
+        # kernels (SAMNERF_LIVE_KERNEL): with the per-group skip, fully
+        # dead 128-sample groups now skip their slab scans entirely
+        "occ": {"occ": True},
+        "occlive": {"occ": True, "livek": True},
+        "occlive16": {"occ": True, "livek": True, "slab": 16},
     }
 
     results = []
@@ -154,14 +160,25 @@ def main():
         if "gs" in spec:
             os.environ["SAMNERF_GROUP_SKIP"] = spec["gs"]
         old_slab = hash_pallas.V2_SLAB
+        old_slab_serve = hash_pallas.V2_SLAB_SERVE
         hash_pallas.V2_SLAB = spec.get("slab", old_slab)
+        # q8 serve reads the serve-only default; slab variants override
+        # both so the spec value is what actually runs
+        hash_pallas.V2_SLAB_SERVE = spec.get("slab", old_slab_serve)
         cfg = base_cfg
         if spec.get("bf16"):
             cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        from samnerf_tpu.fields import nerfacto_field
+        old_livek = nerfacto_field._LIVE_TO_KERNEL
+        nerfacto_field._LIVE_TO_KERNEL = bool(spec.get("livek"))
         try:
             snr = SamNerfRenderer(SAMModel(cfg),
                                   chunk=spec.get("chunk", 1 << 15),
                                   serve_preset="static")
+            if spec.get("occ"):
+                occ_frac = snr.bake_occupancy(params)
+                print(f"{name}: occupancy baked, "
+                      f"{occ_frac:.3f} occupied", flush=True)
             serve = snr.serve_frame_fn(sam, dec_params, H, W,
                                        preset="static")
             t0 = time.time()
@@ -177,6 +194,8 @@ def main():
             row = {"variant": name, "error": repr(e)[:200]}
         finally:
             hash_pallas.V2_SLAB = old_slab
+            hash_pallas.V2_SLAB_SERVE = old_slab_serve
+            nerfacto_field._LIVE_TO_KERNEL = old_livek
             os.environ.pop("SAMNERF_HASH_KERNEL", None)
             os.environ.pop("SAMNERF_GROUP_SKIP", None)
         results.append(row)
