@@ -69,6 +69,10 @@ class ParityHashEncoding(nn.Module):
     the VPU table-scan cost.  NO gradients flow to the tables in this
     mode — set it only on serving/viewer model instances (the same
     trained f32 checkpoint loads unchanged; quantization is on the fly)."""
+    quant_bits: int = 8
+    """Quantized-serve table width: 8 (int8 pairs) or 4 (int4 nibbles —
+    half the scan row-groups again; A/B frame parity before enabling).
+    Only read when ``quantize_serve``; live-masked calls always use 8."""
     hash_fn: str = "reference"
     """"reference" = the primes-XOR spatial hash; "morton" = locality-
     preserving top index bits (coherent tiles skip untouched table slabs
@@ -117,11 +121,13 @@ class ParityHashEncoding(nn.Module):
                 live = jnp.concatenate(
                     [live.reshape(n), jnp.zeros((pad,), live.dtype)])
         if self.quantize_serve:
+            qb = self.quant_bits if live is None else 8
             packed, scales = quantize_parity_table(
-                jax.lax.stop_gradient(table))
+                jax.lax.stop_gradient(table), qbits=qb)
             out = parity_hash_encode_q8(packed, scales, positions, scalings,
                                         self.num_steps,
-                                        hash_fn=self.hash_fn, live=live)
+                                        hash_fn=self.hash_fn, live=live,
+                                        qbits=qb)
         elif live is not None:
             out = parity_hash_encode_serve(table, positions, scalings,
                                            self.num_steps, 0, self.hash_fn,

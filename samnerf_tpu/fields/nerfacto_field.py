@@ -82,6 +82,52 @@ def _contract_and_select(positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return p * selector[..., None], selector
 
 
+def _mlp_is_fusable(mlp) -> bool:
+    """The fused serve kernel implements exactly relu(x@W1+b1)@W2+b2 in
+    f32 — the tcnn FullyFusedMLP shape every field head here uses."""
+    return (mlp.num_hidden_layers == 1 and mlp.output_activation is None
+            and mlp.compute_dtype == jnp.float32)
+
+
+def _fused_encode_mlp(enc_mods, mlp, flat: jax.Array, hash_fn: str,
+                      quant_bits: int) -> jax.Array:
+    """Serve-time fused quantized hash encode -> 1-hidden-layer MLP.
+
+    ``enc_mods``: bound ParityHashEncoding submodules (their pyramids are
+    stacked pyramid-major, matching the unfused ``concat([e(flat)...])``
+    channel order); ``mlp``: bound MLP submodule (params read, not
+    called).  Replaces ``mlp(concat([e(flat) for e in enc_mods]))`` with
+    one Pallas dispatch (``ops.hash_pallas.parity_hash_encode_qmlp``) —
+    the encode features stay in VMEM instead of round-tripping HBM
+    through the [PL, 2, N] -> [N, C] transpose and the XLA matmuls.
+    """
+    from samnerf_tpu.ops.encodings import hash_grid_scalings
+    from samnerf_tpu.ops.hash_pallas import (LANES, parity_hash_encode_qmlp,
+                                             quantize_parity_table)
+    mv = mlp.variables["params"]
+    w1, b1 = mv["Dense_0"]["kernel"], mv["Dense_0"]["bias"]
+    w2, b2 = mv["Dense_1"]["kernel"], mv["Dense_1"]["bias"]
+    packed, scales, scalings = [], [], []
+    num_steps = enc_mods[0].num_steps
+    for e in enc_mods:
+        assert e.num_steps == num_steps, "stacked pyramids share table size"
+        pk, sc = quantize_parity_table(
+            jax.lax.stop_gradient(e.variables["params"]["table"]),
+            qbits=quant_bits)
+        packed.append(pk)
+        scales.append(sc)
+        scalings.append(tuple(
+            hash_grid_scalings(e.num_levels, e.min_res, e.max_res).tolist()))
+    n = flat.shape[0]
+    pad = (-n) % LANES
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad, 3), 0.5, flat.dtype)])
+    out = parity_hash_encode_qmlp(packed, scales, flat, scalings, num_steps,
+                                  w1, b1, w2, b2, hash_fn=hash_fn,
+                                  qbits=quant_bits)
+    return out[:n] if pad else out
+
+
 class NerfactoField(nn.Module):
     """Density + view-dependent color field (``nerfacto_field.py:66-351``).
 
@@ -104,6 +150,12 @@ class NerfactoField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    quant_bits: int = 8
+    """Quantized-serve table width (8 or 4); see ParityHashEncoding."""
+    fuse_mlp: bool = False
+    """Serve-only: run the hash encode and mlp_base as ONE Pallas kernel
+    (``_fused_encode_mlp``) — requires ``hash_q8``; falls back to the
+    unfused path whenever a live mask must reach the kernel."""
     sort_points: bool = False
     """Sort encode point streams by a coarse morton key (training batches
     become coherent kernel tiles; see ``ParityHashEncoding.sort_points``)."""
@@ -119,7 +171,7 @@ class NerfactoField(nn.Module):
             num_levels=self.num_levels, min_res=16, max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size, features_per_level=2,
             quantize_serve=self.hash_q8, hash_fn=self.hash_fn,
-            sort_points=self.sort_points)
+            quant_bits=self.quant_bits, sort_points=self.sort_points)
         self.mlp_base = MLP(hidden_dim=self.hidden_dim,
                             num_hidden_layers=self.num_layers - 1,
                             out_dim=1 + self.geo_feat_dim,
@@ -159,8 +211,16 @@ class NerfactoField(nn.Module):
             live = lo if live is None else live * lo
         if live is not None:
             flat = jnp.where(live > 0, flat, 0.5)
-        h = unflatten(self.mlp_base(self.encoding(
-            flat, live=live if _LIVE_TO_KERNEL else None)))
+        kernel_live = live if _LIVE_TO_KERNEL else None
+        if (self.fuse_mlp and self.hash_q8 and kernel_live is None
+                and not self.is_initializing()
+                and _mlp_is_fusable(self.mlp_base)):
+            h = unflatten(_fused_encode_mlp(
+                [self.encoding], self.mlp_base, flat, self.hash_fn,
+                self.quant_bits))
+        else:
+            h = unflatten(self.mlp_base(self.encoding(
+                flat, live=kernel_live)))
         density_raw, geo = h[..., :1], h[..., 1:]
         density = trunc_exp(density_raw) * selector[..., None]
         if live is not None:
@@ -222,6 +282,8 @@ class HashMLPDensityField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    quant_bits: int = 8
+    fuse_mlp: bool = False
     sort_points: bool = False
     occ_res: int = 0
 
@@ -235,19 +297,25 @@ class HashMLPDensityField(nn.Module):
             from samnerf_tpu.ops.occupancy import tile_live_points
             live = tile_live_points(occ, flat, self.occ_res)
             flat = jnp.where(live > 0, flat, 0.5)
-        enc = ParityHashEncoding(
+        encoding = ParityHashEncoding(
             num_levels=self.num_levels, min_res=self.base_res,
             max_res=self.max_res, log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
             quantize_serve=self.hash_q8, hash_fn=self.hash_fn,
-            sort_points=self.sort_points)(
-                flat, live=live if _LIVE_TO_KERNEL else None)
-        if self.use_linear:
-            raw = nn.Dense(1)(enc)
+            quant_bits=self.quant_bits, sort_points=self.sort_points)
+        mlp = None if self.use_linear else MLP(
+            hidden_dim=self.hidden_dim,
+            num_hidden_layers=self.num_layers - 1, out_dim=1,
+            compute_dtype=self.compute_dtype)
+        kernel_live = live if _LIVE_TO_KERNEL else None
+        if (self.fuse_mlp and self.hash_q8 and kernel_live is None
+                and mlp is not None and not self.is_initializing()
+                and _mlp_is_fusable(mlp)):
+            raw = _fused_encode_mlp([encoding], mlp, flat, self.hash_fn,
+                                    self.quant_bits)
         else:
-            raw = MLP(hidden_dim=self.hidden_dim,
-                      num_hidden_layers=self.num_layers - 1, out_dim=1,
-                      compute_dtype=self.compute_dtype)(enc)
+            enc = encoding(flat, live=kernel_live)
+            raw = nn.Dense(1)(enc) if self.use_linear else mlp(enc)
         raw = unflatten(raw)
         density = trunc_exp(raw) * selector[..., None]
         if live is not None:

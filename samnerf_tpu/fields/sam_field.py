@@ -34,6 +34,11 @@ class SAMField(nn.Module):
     compute_dtype: Any = jnp.float32
     hash_q8: bool = False
     hash_fn: str = "reference"
+    quant_bits: int = 8
+    fuse_mlp: bool = False
+    """Serve-only: evaluate a head's two stacked pyramids + its MLP as
+    ONE Pallas kernel (``nerfacto_field._fused_encode_mlp``); requires
+    ``hash_q8`` and equal grid_sizes."""
     sort_points: bool = False
 
     def setup(self):
@@ -45,6 +50,7 @@ class SAMField(nn.Module):
                                  features_per_level=self.features_per_level,
                                  quantize_serve=self.hash_q8,
                                  hash_fn=self.hash_fn,
+                                 quant_bits=self.quant_bits,
                                  sort_points=self.sort_points,
                                  name=f"{name}_{i}")
                     for i in range(len(self.grid_layers))]
@@ -80,7 +86,9 @@ class SAMField(nn.Module):
         EXACT.
         """
         from samnerf_tpu.fields.nerfacto_field import (_LIVE_TO_KERNEL,
-                                                       _flatten_sample_major)
+                                                       _flatten_sample_major,
+                                                       _fused_encode_mlp,
+                                                       _mlp_is_fusable)
         p = contract_to_unit(jax.lax.stop_gradient(positions))
         flat, unflatten = _flatten_sample_major(p)
         live_flat = None
@@ -89,18 +97,36 @@ class SAMField(nn.Module):
             flat = jnp.where(live_flat > 0, flat, 0.5)
             if not _LIVE_TO_KERNEL:
                 live_flat = None
+
+        def fusable(net):
+            return (self.fuse_mlp and self.hash_q8 and live_flat is None
+                    and not self.is_initializing()
+                    and len(set(self.grid_sizes)) == 1
+                    and _mlp_is_fusable(net))
+
         out = {}
         if "sam" in get_features or ("dino" in get_features and self.use_dino):
-            x = jnp.concatenate([e(flat, live=live_flat)
-                                 for e in self.sam_encs], axis=-1)
-            if "sam" in get_features:
-                out["sam"] = unflatten(self.sam_net(x))
-            if "dino" in get_features and self.use_dino:
-                out["dino"] = unflatten(self.dino_net(x))
+            wants_dino = "dino" in get_features and self.use_dino
+            if fusable(self.sam_net) and not wants_dino:
+                out["sam"] = unflatten(_fused_encode_mlp(
+                    self.sam_encs, self.sam_net, flat, self.hash_fn,
+                    self.quant_bits))
+            else:
+                x = jnp.concatenate([e(flat, live=live_flat)
+                                     for e in self.sam_encs], axis=-1)
+                if "sam" in get_features:
+                    out["sam"] = unflatten(self.sam_net(x))
+                if wants_dino:
+                    out["dino"] = unflatten(self.dino_net(x))
         if "clipseg" in get_features and self.use_clipseg:
-            xc = jnp.concatenate([e(flat, live=live_flat)
-                                  for e in self.clipseg_encs], axis=-1)
-            out["clipseg"] = unflatten(self.clipseg_net(xc))
+            if fusable(self.clipseg_net):
+                out["clipseg"] = unflatten(_fused_encode_mlp(
+                    self.clipseg_encs, self.clipseg_net, flat, self.hash_fn,
+                    self.quant_bits))
+            else:
+                xc = jnp.concatenate([e(flat, live=live_flat)
+                                      for e in self.clipseg_encs], axis=-1)
+                out["clipseg"] = unflatten(self.clipseg_net(xc))
         return out
 
 

@@ -87,6 +87,21 @@ class SAMModelConfig:
     """Serve-time int8 hash tables (ParityHashEncoding.quantize_serve):
     ~2x faster table scans at view time; training instances must leave
     this False (gradients to the tables are stopped in q8 mode)."""
+    serve_quant_bits: int = 8
+    """Quantized-serve table width when ``hash_q8_serve``: 8 (int8) or 4
+    (int4 — half the scan row-groups again; costs quantization noise,
+    A/B the frame parity: docs/SERVE_AB_r4_fused.json)."""
+    serve_quant_bits_props: int = 0
+    """Override for the PROPOSAL tables only (0 = same as
+    serve_quant_bits).  Proposals just place samples — int4 noise there
+    perturbs sample positions, not radiances — so q4-proposals is the
+    fallback if full q4 fails frame parity."""
+    serve_fuse_mlp: bool = False
+    """Serve-only: run each hash encode + its base MLP as one Pallas
+    kernel (``ops.hash_pallas.parity_hash_encode_qmlp``) — the encode
+    features stay in VMEM instead of round-tripping HBM through layout
+    transposes and separate XLA matmuls.  Requires ``hash_q8_serve``;
+    live-masked calls fall back to the unfused kernels."""
     serve_transmittance_eps: float = 0.0
     """Serve-time early ray termination (eval mode only; 0 disables).
     Nerf-field samples whose estimated transmittance — from the last
@@ -143,13 +158,16 @@ class SAMModel(nn.Module):
             max_res=cfg.max_res, log2_hashmap_size=cfg.log2_hashmap_size,
             use_appearance_embedding=cfg.use_appearance_embedding,
             compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-            hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+            hash_fn=cfg.hash_fn, quant_bits=cfg.serve_quant_bits,
+            fuse_mlp=cfg.serve_fuse_mlp, sort_points=cfg.sort_points,
             occ_res=cfg.occ_res, name="fields")
         props = []
         for i in range(cfg.num_proposal_iterations):
             args = cfg.proposal_net_args[min(i, len(cfg.proposal_net_args) - 1)]
             props.append(prop_cls(
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
+                quant_bits=cfg.serve_quant_bits_props or cfg.serve_quant_bits,
+                fuse_mlp=cfg.serve_fuse_mlp,
                 # proposals stay unsorted: at their small tables (5Lx2f
                 # @2^17) the sort machinery costs more than the touched-
                 # chunk backward saves (48.9->54.9 ms measured,
@@ -167,7 +185,8 @@ class SAMModel(nn.Module):
                 use_dino=cfg.use_dino_feature,
                 use_clipseg=cfg.use_clipseg_feature,
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, sort_points=cfg.sort_points,
+                hash_fn=cfg.hash_fn, quant_bits=cfg.serve_quant_bits,
+                fuse_mlp=cfg.serve_fuse_mlp, sort_points=cfg.sort_points,
                 name="sam_field")
             self.conv = ConvHead(kernel_size=cfg.kernel_size,
                                  compute_dtype=cfg.compute_dtype, name="conv")

@@ -238,6 +238,39 @@ def _corner_index_math_q8(x, y, z, scale, dense, half, num_steps,
     return lo8, hi8, w
 
 
+def _corner_index_math_q4(x, y, z, scale, dense, half, num_steps,
+                          s0, s1, s2, hash_fn: str = "reference"):
+    """Index math for the int4-packed layout: class entry e re-addressed
+    as (row-group e>>9, lane (e>>2)&127, byte-quarter e&3).  Returns
+    (lo4 | quarter<<8, hi4, w)."""
+    lo, hi, w = _corner_index_math_dyn(x, y, z, scale, dense, half,
+                                       num_steps, s0, s1, s2, hash_fn)
+    e = (hi << 7) | lo
+    lo4 = ((e >> 2) & (LANES - 1)) | ((e & 3) << 8)
+    hi4 = e >> 9
+    return lo4, hi4, w
+
+
+def _corner_index_math_q(qbits: int):
+    return _corner_index_math_q8 if qbits == 8 else _corner_index_math_q4
+
+
+def _dequant_selected(acc, sel, qscale, qbits: int):
+    """Gathered u32 lanes ``acc`` [8, 128] + per-corner sub-lane selector
+    ``sel`` (byte half for q8, byte quarter for q4) -> dequantized
+    (f0, f1) feature pairs."""
+    bits = pltpu.bitcast(acc, jnp.uint32)
+    if qbits == 8:
+        v16 = (bits >> (sel.astype(jnp.uint32) * 16)) & jnp.uint32(0xFFFF)
+        f0 = (((v16 & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80)
+        f1 = ((((v16 >> 8) & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80)
+    else:
+        v8 = (bits >> (sel.astype(jnp.uint32) * 8)) & jnp.uint32(0xFF)
+        f0 = (((v8 & 0xF) ^ 0x8).astype(jnp.int32) - 0x8)
+        f1 = ((((v8 >> 4) & 0xF) ^ 0x8).astype(jnp.int32) - 0x8)
+    return f0.astype(jnp.float32) * qscale, f1.astype(jnp.float32) * qscale
+
+
 # --- forward kernel -----------------------------------------------------------
 
 
@@ -1027,31 +1060,50 @@ def _fwd_call_v4(packed_table, positions_t, meta, scale, ids, *, num_steps,
 # master parameter tables, so trained checkpoints serve unchanged.
 
 
-def quantize_parity_table(table: jax.Array):
-    """[PL, steps*8, 128, 2] f32 master -> (packed q8 [PL, ceil(steps/2)*8,
-    128] f32-bitcast, scales [PL] f32).  Byte layout per u32 lane:
-    (half0.f0, half0.f1, half1.f0, half1.f1)."""
+def quantize_parity_table(table: jax.Array, qbits: int = 8):
+    """[PL, steps*8, 128, 2] f32 master -> (packed [PL, ceil(steps/E)*8,
+    128] f32-bitcast, scales [PL] f32) with E = 32 // (2 * qbits) entries
+    per u32 lane.
+
+    qbits=8: byte layout per u32 lane (half0.f0, half0.f1, half1.f0,
+    half1.f1) — 2 entries/lane.  qbits=4: byte q of the u32 holds entry
+    quarter q as (f0 in the low nibble, f1 in the high nibble) — 4
+    entries/lane, HALF the q8 row-groups, so the VPU-bound slab scan runs
+    ~2x faster again at a quantization-noise cost (A/B the frame parity
+    before enabling; symmetric scale max|.|/7 per (pack, level))."""
+    assert qbits in (8, 4)
     pl_rows, rows, _, _ = table.shape
     steps = rows // PARITIES
-    steps8 = max(steps // 2, 1)
+    epl = 2 if qbits == 8 else 4             # entries per u32 lane
+    steps_q = max(-(-steps // epl), 1)
+    qmax = 127 if qbits == 8 else 7
     scales = jnp.maximum(
-        jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / 127.0
+        jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / qmax
     q = jnp.clip(jnp.round(table / scales[:, None, None, None]),
-                 -127, 127).astype(jnp.int32)
+                 -qmax, qmax).astype(jnp.int32)
     # rows (8t+s) -> class-entry order e = t*128 + lane
     q = q.reshape(pl_rows, steps, PARITIES, LANES, 2)
     q = jnp.transpose(q, (0, 2, 1, 3, 4))            # [PL, 8, steps, 128, 2]
     q = q.reshape(pl_rows, PARITIES, steps * LANES, 2)
-    if steps % 2:   # pad odd step counts with a zero entry block
+    pad = steps_q * epl * LANES - steps * LANES
+    if pad:     # pad non-multiple step counts with zero entry blocks
         q = jnp.concatenate(
-            [q, jnp.zeros((pl_rows, PARITIES, steps8 * 2 * LANES
-                           - steps * LANES, 2), q.dtype)], axis=2)
-    q = q.reshape(pl_rows, PARITIES, steps8, LANES, 2, 2)  # tq, lane, half, f
-    b = (q & 0xFF).astype(jnp.uint32)
-    u32 = (b[..., 0, 0] | (b[..., 0, 1] << 8)
-           | (b[..., 1, 0] << 16) | (b[..., 1, 1] << 24))
+            [q, jnp.zeros((pl_rows, PARITIES, pad, 2), q.dtype)], axis=2)
+    if qbits == 8:
+        # [PL, 8, tq, lane, half, f]; e = tq*256 + lane*2 + half
+        q = q.reshape(pl_rows, PARITIES, steps_q, LANES, 2, 2)
+        b = (q & 0xFF).astype(jnp.uint32)
+        u32 = (b[..., 0, 0] | (b[..., 0, 1] << 8)
+               | (b[..., 1, 0] << 16) | (b[..., 1, 1] << 24))
+    else:
+        # [PL, 8, tq, lane, quarter, f]; e = tq*512 + lane*4 + quarter
+        q = q.reshape(pl_rows, PARITIES, steps_q, LANES, 4, 2)
+        nib = (q & 0xF).astype(jnp.uint32)
+        byte = nib[..., 0] | (nib[..., 1] << 4)      # [.., lane, quarter]
+        u32 = (byte[..., 0] | (byte[..., 1] << 8)
+               | (byte[..., 2] << 16) | (byte[..., 3] << 24))
     u32 = jnp.transpose(u32, (0, 2, 1, 3))          # [PL, tq, 8, 128]
-    u32 = u32.reshape(pl_rows, steps8 * PARITIES, LANES)
+    u32 = u32.reshape(pl_rows, steps_q * PARITIES, LANES)
     return jax.lax.bitcast_convert_type(u32, jnp.float32), scales
 
 
@@ -1059,12 +1111,12 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
                    lo_s, hi_s, w_s, mask_s, gmask_s, *, num_steps: int,
                    tile: int, slab: int, n_slabs: int,
                    hash_fn: str = "reference", group_skip: bool = False,
-                   has_live: bool = False):
-    """q8 variant of _fwd_kernel_v2: same slab grid (incl. the per-tile
-    and optional per-group slab-membership skips and dead-point flags in
-    pos row 3), half the row-groups; the scan selects packed u32 lanes,
-    the selected lane's byte pair is sign-extended and dequantized per
-    slab."""
+                   has_live: bool = False, qbits: int = 8):
+    """Quantized variant of _fwd_kernel_v2: same slab grid (incl. the
+    per-tile and optional per-group slab-membership skips and dead-point
+    flags in pos row 3), 1/2 (qbits=8) or 1/4 (qbits=4) the row-groups;
+    the scan selects packed u32 lanes, the selected lane's byte (pair) is
+    sign-extended and dequantized per slab."""
     slab_shift = slab.bit_length() - 1
     pid = pl.program_id(0)
     s_id = pl.program_id(2)
@@ -1081,8 +1133,8 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         x = pos_ref[0:1, :]
         y = pos_ref[1:2, :]
         z = pos_ref[2:3, :]
-        lo8, hi8, w = _corner_index_math_q8(x, y, z, scale, dense, half,
-                                            num_steps, s0, s1, s2, hash_fn)
+        lo8, hi8, w = _corner_index_math_q(qbits)(
+            x, y, z, scale, dense, half, num_steps, s0, s1, s2, hash_fn)
         lo_s[...] = lo8
         hi_s[...] = hi8
         w_s[...] = w
@@ -1109,7 +1161,7 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
         def scan_group(j):
             cols = slice(j * LANES, (j + 1) * LANES)
             lo = lo_s[:, cols] & (LANES - 1)
-            halfbit = lo_s[:, cols] >> 8
+            sel = lo_s[:, cols] >> 8
             hi = hi_s[:, cols] - base
             w = w_s[:, cols]
             acc = jnp.zeros((PARITIES, LANES), jnp.float32)
@@ -1117,13 +1169,7 @@ def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
                 src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
                 g = jnp.take_along_axis(src, lo, axis=1)
                 acc = jnp.where(hi == u, g, acc)
-            bits = pltpu.bitcast(acc, jnp.uint32)
-            v16 = (bits >> (halfbit.astype(jnp.uint32) * 16)) \
-                & jnp.uint32(0xFFFF)
-            f0 = (((v16 & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
-                .astype(jnp.float32) * qscale
-            f1 = ((((v16 >> 8) & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80) \
-                .astype(jnp.float32) * qscale
+            f0, f1 = _dequant_selected(acc, sel, qscale, qbits)
             out_ref[0, 0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
@@ -1195,13 +1241,15 @@ def _fwd_kernel_q8v4(ids_ref, meta_ref, scale_ref, pos_ref, table_ref,
             out_ref[0, 1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
 
-def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
-    """Per-(pack, level) metadata for the q8 kernel: row-group counts on
-    the 2048-entry-per-group layout; scale_ref carries (level scale,
-    quantization scale) pairs."""
+def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales,
+                  qbits: int = 8):
+    """Per-(pack, level) metadata for the quantized kernels: row-group
+    counts on the (2048 entries at q8 / 4096 at q4)-per-group layout;
+    scale_ref carries (level scale, quantization scale) pairs."""
     num_levels = len(plan)
-    steps8 = max(num_steps // 2, 1)
-    slab = min(min(V2_SLAB_SERVE, V2_SLAB), steps8)
+    epl = 2 if qbits == 8 else 4
+    steps_q = max(-(-num_steps // epl), 1)
+    slab = min(min(V2_SLAB_SERVE, V2_SLAB), steps_q)
     meta = np.zeros((num_packed * num_levels, 4), np.int32)
     sc = np.zeros((num_packed * num_levels, 2), np.float32)
     for p in range(num_packed):
@@ -1209,46 +1257,53 @@ def _plan_meta_q8(plan, num_steps: int, num_packed: int, scales):
             entries = num_steps * LANES
             if dense:
                 entries = min(entries, half ** 3)
-            steps_l8 = min(steps8, -(-entries // (2 * LANES)))
+            steps_lq = min(steps_q, -(-entries // (epl * LANES)))
             row = p * num_levels + l
-            meta[row] = (1 if dense else 0, half, -(-steps_l8 // slab), 0)
+            meta[row] = (1 if dense else 0, half, -(-steps_lq // slab), 0)
             sc[row, 0] = s
     meta_j = jnp.asarray(meta)
     sc_j = jnp.asarray(sc).at[:, 1].set(scales)
-    return meta_j, sc_j, steps8, slab
+    return meta_j, sc_j, steps_q, slab
 
 
 def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
                           positions: jax.Array, scalings,
                           num_steps: int,
                           hash_fn: str = "reference",
-                          live=None, tile: int = 0) -> jax.Array:
-    """Serve-time int8 hash encoding (no gradients).
+                          live=None, tile: int = 0,
+                          qbits: int = 8) -> jax.Array:
+    """Serve-time quantized hash encoding (no gradients).
 
-    packed_q8/scales from :func:`quantize_parity_table`;
+    packed_q8/scales from :func:`quantize_parity_table` (``qbits`` must
+    match its packing: 8 = int8 pairs, 4 = int4 nibbles);
     positions [N, 3] (N multiple of 128) -> [N, P*2*L] f32, same channel
     layout as :func:`parity_hash_encode`.  ``live`` [N] or [N, 1] 0/1
-    (optional): kernel point-tiles whose points are ALL dead skip index
-    math, table DMA and scanning entirely and output zeros; outputs at
-    dead points are unspecified (callers gate on liveness downstream).
+    (optional, qbits=8 only): kernel point-tiles whose points are ALL
+    dead skip index math, table DMA and scanning entirely and output
+    zeros; outputs at dead points are unspecified (callers gate on
+    liveness downstream).
     """
+    assert qbits == 8 or live is None, "live masks: q8 path only"
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
     pl_rows = packed_q8.shape[0]
     num_packed = pl_rows // num_levels
     n = positions.shape[0]
     meta, sc, steps8, slab = _plan_meta_q8(plan, num_steps, num_packed,
-                                           jax.lax.stop_gradient(scales))
+                                           jax.lax.stop_gradient(scales),
+                                           qbits=qbits)
     if jax.default_backend() != "tpu":
         return _parity_hash_encode_q8_ref(packed_q8, scales, positions,
-                                          scalings, num_steps, hash_fn)
+                                          scalings, num_steps, hash_fn,
+                                          qbits=qbits)
     pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
     tile = tile or _pick_tile(n, 8192)
     n_slabs = max(steps8 // slab, 1)
     if live is not None:
         live = live.reshape(n)
     group_skip = _group_skip_enabled(n_slabs, tile, live is not None)
-    if _kernel_version() == "v2" and (live is None or group_skip):
+    if qbits == 4 or (_kernel_version() == "v2"
+                      and (live is None or group_skip)):
         has_live = live is not None
         if has_live:
             # dead flags ride pos row 3 (>0 = dead); dead points
@@ -1258,7 +1313,7 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
         kern = functools.partial(_fwd_kernel_q8, num_steps=num_steps,
                                  tile=tile, slab=slab, n_slabs=n_slabs,
                                  hash_fn=hash_fn, group_skip=group_skip,
-                                 has_live=has_live)
+                                 has_live=has_live, qbits=qbits)
         out = pl.pallas_call(
             kern,
             grid=(pl_rows, n // tile, n_slabs),
@@ -1318,15 +1373,15 @@ def parity_hash_encode_q8(packed_q8: jax.Array, scales: jax.Array,
 
 
 def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
-                               num_steps, hash_fn="reference"):
-    """jnp reference for the q8 kernel (any backend): unpack bytes,
-    dequantize, same corner math."""
+                               num_steps, hash_fn="reference",
+                               qbits: int = 8):
+    """jnp reference for the quantized kernels (any backend): unpack
+    bytes/nibbles, dequantize, same corner math."""
     plan = _level_plan(scalings, num_steps)
     num_levels = len(plan)
     pl_rows = packed_q8.shape[0]
     num_packed = pl_rows // num_levels
     u32 = jax.lax.bitcast_convert_type(packed_q8, jnp.uint32)
-    steps8 = u32.shape[1] // PARITIES
     x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
     s_ids = jnp.arange(PARITIES, dtype=jnp.int32)[:, None]
     s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
@@ -1334,20 +1389,243 @@ def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
     for p in range(num_packed):
         for f in range(2):
             for l, (scale, dense, half) in enumerate(plan):
-                lo8, hi8, w = _corner_index_math_q8(
+                loq, hiq, w = _corner_index_math_q(qbits)(
                     x[None], y[None], z[None], jnp.float32(scale),
                     jnp.int32(1 if dense else 0), jnp.int32(half),
                     num_steps, s0, s1, s2, hash_fn)
-                lane = lo8 & (LANES - 1)
-                halfbit = (lo8 >> 8).astype(jnp.uint32)
-                row = hi8 * PARITIES + s_ids
+                lane = loq & (LANES - 1)
+                sel = (loq >> 8).astype(jnp.uint32)
+                row = hiq * PARITIES + s_ids
                 bits = u32[p * num_levels + l, row, lane]
-                v16 = (bits >> (halfbit * 16 + jnp.uint32(8 * f))) \
-                    & jnp.uint32(0xFF)
-                val = ((v16 ^ 0x80).astype(jnp.int32) - 0x80) \
-                    .astype(jnp.float32) * scales[p * num_levels + l]
+                if qbits == 8:
+                    v = (bits >> (sel * 16 + jnp.uint32(8 * f))) \
+                        & jnp.uint32(0xFF)
+                    val = ((v ^ 0x80).astype(jnp.int32) - 0x80)
+                else:
+                    v = (bits >> (sel * 8 + jnp.uint32(4 * f))) \
+                        & jnp.uint32(0xF)
+                    val = ((v ^ 0x8).astype(jnp.int32) - 0x8)
+                val = val.astype(jnp.float32) * scales[p * num_levels + l]
                 outs.append(jnp.sum(val * w, axis=0))
     return jnp.stack(outs, axis=-1)
+
+
+# --- fused encode + MLP serving kernel ----------------------------------------
+#
+# At view time every hash encode feeds a 1-hidden-layer MLP
+# (tinycudann's HashGrid -> FullyFusedMLP pairing, reference config at
+# ``nerfstudio/fields/nerfacto_field.py:157-240`` / ``samnerf/sam_field.py:51-94``).
+# Running the MLP as a separate XLA op costs the full [N, C] feature
+# round-trip through HBM plus the [PL, 2, N] -> [N, C] layout transpose —
+# pure bandwidth with zero FLOP value.  This kernel reorders the serve
+# grid to (point tiles, levels, slabs) so one tile's COMPLETE feature
+# vector accumulates in a VMEM scratch across the level sweep, then fires
+# the MLP as an MXU epilogue on the last (level, slab) step and writes
+# only the [O, tile] MLP output.  The encode features never touch HBM.
+# Multiple pyramids with a shared table geometry (the SAM field's two
+# concatenated grids, ``samnerf/sam_field.py:96-110``) stack along the
+# level-row axis and fuse into the same epilogue.
+
+
+def _fwd_kernel_qmlp(meta_ref, scale_ref, pos_ref, table_ref, w1_ref,
+                     b1_ref, w2_ref, b2_ref, out_ref, lo_s, hi_s, w_s,
+                     acc_s, mask_s, *, num_steps: int, pl_rows: int,
+                     tile: int, slab: int, n_slabs: int, gcol: int,
+                     hash_fn: str = "reference", qbits: int = 8):
+    """Grid (tiles, PL, slabs) — the tile is the OUTER dimension so
+    ``acc_s`` [C_pad, tile] holds the tile's full encode when the last
+    grid step runs the MLP epilogue.  Blocks: meta [PL, 4] / scale
+    [PL, 2] (SMEM), pos [8, tile], table [1, slab*8, 128] (the s-th slab
+    of stacked level row l), w1 [H, C_pad] / b1 [H, 1] / w2 [O_pad, H] /
+    b2 [O_pad, 1] (VMEM, constant), out [O_pad, tile] written only by the
+    epilogue.  w1's columns are pre-permuted to the accumulator's row
+    order (acc row 2*l + f for stacked level row l); C_pad/O_pad pad rows
+    are zeroed/ignored.  Same per-tile touched-slab skip as
+    :func:`_fwd_kernel_q8`."""
+    slab_shift = slab.bit_length() - 1
+    pid = pl.program_id(1)
+    s_id = pl.program_id(2)
+    dense = meta_ref[pid, 0]
+    half = meta_ref[pid, 1]
+    n_slabs_l = meta_ref[pid, 2]
+    scale = scale_ref[pid, 0]
+    qscale = scale_ref[pid, 1]
+
+    @pl.when((pid == 0) & (s_id == 0))
+    def _zero_acc():
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(s_id == 0)
+    def _index_math():
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (PARITIES, tile), 0)
+        s0, s1, s2 = s_iota & 1, (s_iota >> 1) & 1, (s_iota >> 2) & 1
+        x = pos_ref[0:1, :]
+        y = pos_ref[1:2, :]
+        z = pos_ref[2:3, :]
+        loq, hiq, w = _corner_index_math_q(qbits)(
+            x, y, z, scale, dense, half, num_steps, s0, s1, s2, hash_fn)
+        lo_s[...] = loq
+        hi_s[...] = hiq
+        w_s[...] = w
+        sl_of = hiq >> slab_shift
+        for sl in range(n_slabs):
+            mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
+
+    @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
+    def _scan_slab():
+        base = s_id * slab
+        row = pid * 2
+        c_pad = acc_s.shape[0]
+        # Mosaic cannot vector-store at a dynamic sublane offset (row =
+        # 2*pid is not provably 8-aligned), so the 2-row update is a
+        # full-height masked add — [C_pad, 128] of VPU work per group,
+        # noise next to the slab-gather scan above it.
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANES), 0)
+
+        def scan_group(j):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            lo = lo_s[:, cols] & (LANES - 1)
+            sel = lo_s[:, cols] >> 8
+            hi = hi_s[:, cols] - base
+            w = w_s[:, cols]
+            acc = jnp.zeros((PARITIES, LANES), jnp.float32)
+            for u in range(slab):
+                src = table_ref[0, u * PARITIES:(u + 1) * PARITIES, :]
+                g = jnp.take_along_axis(src, lo, axis=1)
+                acc = jnp.where(hi == u, g, acc)
+            f0, f1 = _dequant_selected(acc, sel, qscale, qbits)
+            upd = jnp.where(
+                r_iota == row, jnp.sum(f0 * w, axis=0, keepdims=True),
+                jnp.where(r_iota == row + 1,
+                          jnp.sum(f1 * w, axis=0, keepdims=True), 0.0))
+            acc_s[:, cols] += upd
+
+        for j in range(tile // LANES):
+            scan_group(j)
+
+    @pl.when((pid == pl_rows - 1) & (s_id == n_slabs - 1))
+    def _mlp_epilogue():
+        w1 = w1_ref[...]
+        b1 = b1_ref[...]
+        w2 = w2_ref[...]
+        b2 = b2_ref[...]
+        for g in range(tile // gcol):
+            cols = slice(g * gcol, (g + 1) * gcol)
+            h = jax.lax.dot_general(
+                w1, acc_s[:, cols], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h = jnp.maximum(h + b1, 0.0)
+            o = jax.lax.dot_general(
+                w2, h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[:, cols] = o + b2
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def parity_hash_encode_qmlp(packed_list, scales_list, positions,
+                            scalings_list, num_steps: int,
+                            w1: jax.Array, b1: jax.Array,
+                            w2: jax.Array, b2: jax.Array,
+                            hash_fn: str = "reference", tile: int = 0,
+                            qbits: int = 8) -> jax.Array:
+    """Fused serve-time quantized hash encode + 1-hidden-layer MLP.
+
+    Computes ``relu(enc @ w1 + b1) @ w2 + b2`` where ``enc`` [N, C] is
+    the concatenation (pyramid-major) of the public-layout encodings of
+    each (packed, scales, scalings) pyramid — all sharing ``num_steps``
+    (same log2_hashmap_size).  w1 [C, H], b1 [H], w2 [H, O], b2 [O];
+    returns [N, O] f32.  No gradients (serve only).
+    """
+    assert len(packed_list) == len(scales_list) == len(scalings_list)
+    plans = [_level_plan(s, num_steps) for s in scalings_list]
+    if jax.default_backend() != "tpu":
+        enc = jnp.concatenate(
+            [_parity_hash_encode_q8_ref(pk, sc, positions, s, num_steps,
+                                        hash_fn, qbits=qbits)
+             for pk, sc, s in zip(packed_list, scales_list, scalings_list)],
+            axis=-1)
+        return jnp.maximum(enc @ w1 + b1, 0.0) @ w2 + b2
+
+    n = positions.shape[0]
+    num_levels_i = [len(p) for p in plans]
+    num_packed_i = [pk.shape[0] // L
+                    for pk, L in zip(packed_list, num_levels_i)]
+    pl_rows = sum(pk.shape[0] for pk in packed_list)
+
+    # stacked per-row metadata (one _plan_meta_q8 per pyramid)
+    metas, scs, slab = [], [], None
+    for pk, sc_i, plan_i, P_i in zip(packed_list, scales_list, plans,
+                                     num_packed_i):
+        m, s, steps_q, slab = _plan_meta_q8(
+            plan_i, num_steps, P_i, jax.lax.stop_gradient(sc_i),
+            qbits=qbits)
+        metas.append(m)
+        scs.append(s)
+    meta = jnp.concatenate(metas, axis=0)
+    sc = jnp.concatenate(scs, axis=0)
+    stacked = jnp.concatenate(
+        [jax.lax.stop_gradient(pk) for pk in packed_list], axis=0)
+
+    # public channel c of pyramid i = (p*2 + f)*L_i + l  ->  acc row
+    # 2*(row_off_i + p*L_i + l) + f
+    perm = []
+    row_off = 0
+    for L_i, P_i in zip(num_levels_i, num_packed_i):
+        for p in range(P_i):
+            for f in range(2):
+                for l in range(L_i):
+                    perm.append(2 * (row_off + p * L_i + l) + f)
+        row_off += P_i * L_i
+    c_tot = 2 * pl_rows
+    h_dim = w1.shape[1]
+    o_dim = w2.shape[1]
+    c_pad = _round_up(c_tot, 8)
+    o_pad = _round_up(o_dim, 8)
+    w1k = jnp.zeros((h_dim, c_pad), jnp.float32).at[
+        :, jnp.asarray(perm, jnp.int32)].set(w1.T.astype(jnp.float32))
+    b1k = b1.reshape(h_dim, 1).astype(jnp.float32)
+    w2k = jnp.zeros((o_pad, h_dim), jnp.float32).at[:o_dim].set(
+        w2.T.astype(jnp.float32))
+    b2k = jnp.zeros((o_pad, 1), jnp.float32).at[:o_dim].set(
+        b2.reshape(o_dim, 1).astype(jnp.float32))
+
+    pos_t = jnp.zeros((8, n), jnp.float32).at[:3].set(positions.T)
+    tile = tile or _pick_tile(n, 8192)
+    n_slabs = max(steps_q // slab, 1)
+    gcol = min(tile, 2048)
+    kern = functools.partial(
+        _fwd_kernel_qmlp, num_steps=num_steps, pl_rows=pl_rows, tile=tile,
+        slab=slab, n_slabs=n_slabs, gcol=gcol, hash_fn=hash_fn, qbits=qbits)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // tile, pl_rows, n_slabs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda i, l, s: (0, i)),
+            pl.BlockSpec((1, slab * PARITIES, LANES),
+                         lambda i, l, s: (l, s, 0)),
+            pl.BlockSpec((h_dim, c_pad), lambda i, l, s: (0, 0)),
+            pl.BlockSpec((h_dim, 1), lambda i, l, s: (0, 0)),
+            pl.BlockSpec((o_pad, h_dim), lambda i, l, s: (0, 0)),
+            pl.BlockSpec((o_pad, 1), lambda i, l, s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((o_pad, tile), lambda i, l, s: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((o_pad, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.int32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),
+            pltpu.VMEM((c_pad, tile), jnp.float32),
+            pltpu.SMEM((n_slabs,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(meta, sc, pos_t, stacked, w1k, b1k, w2k, b2k)
+    return out[:o_dim].T
 
 
 # --- reference (pure jnp; identical semantics, any backend) -------------------

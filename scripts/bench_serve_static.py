@@ -150,6 +150,11 @@ def main():
         "occ": {"occ": True},
         "occlive": {"occ": True, "livek": True},
         "occlive16": {"occ": True, "livek": True, "slab": 16},
+        # fused encode+MLP epilogue kernel / int4 serve tables
+        "fused": {"fuse": True},
+        "q4": {"qbits": 4},
+        "fusedq4": {"fuse": True, "qbits": 4},
+        "fusedq4prop": {"fuse": True, "qbits": "prop4"},
     }
 
     results = []
@@ -168,6 +173,12 @@ def main():
         cfg = base_cfg
         if spec.get("bf16"):
             cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        if spec.get("fuse"):
+            cfg = dataclasses.replace(cfg, serve_fuse_mlp=True)
+        if spec.get("qbits") == 4:
+            cfg = dataclasses.replace(cfg, serve_quant_bits=4)
+        elif spec.get("qbits") == "prop4":
+            cfg = dataclasses.replace(cfg, serve_quant_bits_props=4)
         from samnerf_tpu.fields import nerfacto_field
         old_livek = nerfacto_field._LIVE_TO_KERNEL
         nerfacto_field._LIVE_TO_KERNEL = bool(spec.get("livek"))

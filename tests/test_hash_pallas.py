@@ -682,3 +682,138 @@ def test_group_skip_enabled_rule(monkeypatch):
     monkeypatch.setenv("SAMNERF_GROUP_SKIP", "0")   # force-off everywhere
     assert not hp._group_skip_enabled(8, 8192)
     assert not hp._group_skip_enabled(8, 8192, has_live=True)
+
+
+# --- q4 (int4 serve tables) -----------------------------------------------
+
+
+def test_q4_ref_matches_dequantized_f32():
+    """The q4 jnp reference must equal direct corner math on the
+    int4-rounded table (same entries, same weights)."""
+    scalings, table, pos = _setup(L=3, steps=4, N=256)
+    packed, scales = hp.quantize_parity_table(table, qbits=4)
+    out_q4 = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 4,
+                                           qbits=4)
+    q = jnp.clip(jnp.round(table / scales[:, None, None, None]), -7, 7)
+    deq = q * scales[:, None, None, None]
+    plan = hp._level_plan(scalings, 4)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    s_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+    s0, s1, s2 = s_ids & 1, (s_ids >> 1) & 1, (s_ids >> 2) & 1
+    outs = []
+    for f in range(2):
+        for l, (scale, dense, half) in enumerate(plan):
+            lo, hi, w = hp._corner_index_math(
+                x[None], y[None], z[None], scale, dense, half, 4,
+                s0, s1, s2)
+            vals = deq[l, hi * 8 + s_ids, lo, f]
+            outs.append(jnp.sum(vals * w, axis=0))
+    expected = jnp.stack(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(out_q4), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_q4_kernel_matches_ref(monkeypatch):
+    """Interpret-mode q4 Pallas kernel == q4 jnp reference."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    packed, scales = hp.quantize_parity_table(table, qbits=4)
+    ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 8,
+                                        qbits=4)
+    out = hp.parity_hash_encode_q8(packed, scales, pos, scalings, 8,
+                                   qbits=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_q4_kernel_matches_ref_packed_multi(monkeypatch):
+    """q4 kernel on a multi-pack (features_per_level=4) pyramid."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=3, steps=4, P=2, N=256)
+    packed, scales = hp.quantize_parity_table(table, qbits=4)
+    ref = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 4,
+                                        qbits=4)
+    out = hp.parity_hash_encode_q8(packed, scales, pos, scalings, 4,
+                                   qbits=4)
+    assert out.shape == (256, 12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_q4_quantization_error_bounded():
+    scalings, table, pos = _setup(L=2, steps=2, N=128)
+    f32 = hp.parity_hash_encode(table, pos, scalings, 2)
+    packed, scales = hp.quantize_parity_table(table, qbits=4)
+    q4 = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 2,
+                                       qbits=4)
+    tol = float(jnp.max(scales)) + 2e-2 * float(jnp.max(jnp.abs(f32)))
+    assert float(jnp.max(jnp.abs(q4 - f32))) <= tol
+
+
+# --- fused encode + MLP ------------------------------------------------------
+
+
+def _mlp_params(key, c, h, o):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    w1 = jax.random.normal(k1, (c, h)) * 0.2
+    b1 = jax.random.normal(k2, (h,)) * 0.1
+    w2 = jax.random.normal(k3, (h, o)) * 0.2
+    b2 = jax.random.normal(k4, (o,)) * 0.1
+    return w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("qbits", [8, 4])
+def test_qmlp_kernel_single_pyramid(monkeypatch, qbits):
+    """Interpret-mode fused encode+MLP == ref encode -> f32 MLP."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings, table, pos = _setup(L=4, steps=8, N=512)
+    packed, scales = hp.quantize_parity_table(table, qbits=qbits)
+    w1, b1, w2, b2 = _mlp_params(jax.random.PRNGKey(3), 8, 16, 5)
+    enc = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 8,
+                                        qbits=qbits)
+    expect = jnp.maximum(enc @ w1 + b1, 0.0) @ w2 + b2
+    out = hp.parity_hash_encode_qmlp([packed], [scales], pos, [scalings],
+                                     8, w1, b1, w2, b2, qbits=qbits)
+    assert out.shape == (512, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_qmlp_kernel_stacked_pyramids(monkeypatch):
+    """Two stacked pyramids (different scalings, shared num_steps) fused
+    through one MLP — the SAM-field pattern."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    scalings_a, table_a, pos = _setup(L=3, steps=4, P=2, N=256)
+    scalings_b, table_b, _ = _setup(L=3, steps=4, P=2, seed=7,
+                                    min_res=8, max_res=128)
+    pk_a, sc_a = hp.quantize_parity_table(table_a)
+    pk_b, sc_b = hp.quantize_parity_table(table_b)
+    enc = jnp.concatenate([
+        hp._parity_hash_encode_q8_ref(pk_a, sc_a, pos, scalings_a, 4),
+        hp._parity_hash_encode_q8_ref(pk_b, sc_b, pos, scalings_b, 4),
+    ], axis=-1)
+    w1, b1, w2, b2 = _mlp_params(jax.random.PRNGKey(5), 24, 32, 9)
+    expect = jnp.maximum(enc @ w1 + b1, 0.0) @ w2 + b2
+    out = hp.parity_hash_encode_qmlp(
+        [pk_a, pk_b], [sc_a, sc_b], pos, [scalings_a, scalings_b],
+        4, w1, b1, w2, b2)
+    assert out.shape == (256, 9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_qmlp_cpu_fallback():
+    """On CPU the fused op routes to ref encode + jnp MLP."""
+    scalings, table, pos = _setup(L=2, steps=2, N=128)
+    packed, scales = hp.quantize_parity_table(table)
+    w1, b1, w2, b2 = _mlp_params(jax.random.PRNGKey(3), 4, 8, 3)
+    out = hp.parity_hash_encode_qmlp([packed], [scales], pos, [scalings],
+                                     2, w1, b1, w2, b2)
+    enc = hp._parity_hash_encode_q8_ref(packed, scales, pos, scalings, 2)
+    expect = jnp.maximum(enc @ w1 + b1, 0.0) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
