@@ -130,8 +130,17 @@ class RenderStateMachine(threading.Thread):
             self.state = self.transitions[self.state][action.action]
             try:
                 outputs, res = self._render_img(action)
+                if self._stop_requested:
+                    return
                 self._send_output_to_viewer(outputs, res)
-            except Exception as e:  # keep the loop alive (ref :281-283)
+            except Exception:  # keep the loop alive (ref :281-283)
+                # A stop() whose join timed out mid-render leaves this
+                # daemon thread racing interpreter teardown — the render
+                # then dies on torn-down jit caches (KeyError on a
+                # tracer Var); that's shutdown, not an error to report.
+                import sys
+                if self._stop_requested or sys.is_finalizing():
+                    return
                 import traceback
                 traceback.print_exc()
             if self.state == "low_static":
