@@ -228,6 +228,19 @@ class SamNerfRenderer:
     def clear_prompts(self):
         self.prompts = None
 
+    def bake_serve_tables(self, params, optimize: int = 12):
+        """Pre-quantize every hash table for serving
+        (``ops.hash_pallas.bake_quantized_tables``): the per-frame
+        quantize+pack of the f32 masters disappears from the jitted
+        frame, and the bake's MSE-optimal clip scales replace the
+        outlier-dominated max scales (a pure quality win at int4).
+        Returns the augmented params pytree; no-op unless this renderer
+        serves quantized tables."""
+        if not self.cfg.hash_q8_serve:
+            return params
+        from samnerf_tpu.ops.hash_pallas import bake_quantized_tables
+        return bake_quantized_tables(params, optimize=optimize)
+
     def bake_occupancy(self, params, **kw):
         """Bake + install the serve occupancy grid from trained params
         (``engine.eval_render.bake_occupancy``); subsequent renders cull
@@ -271,9 +284,10 @@ class SamNerfRenderer:
             overlay = jnp.where(
                 mask[..., None],
                 0.5 * rgb + 0.5 * jnp.asarray([1.0, 0.0, 0.0]), rgb)
-            return (jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return ((jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8),
+                    mask)
 
-        def serve(params, cameras, cam_idx, click_xy):
+        def serve(params, cameras, cam_idx, click_xy, return_mask=False):
             frame = renderer.render_image_device(params, cameras, cam_idx,
                                                  W, H, features=feats,
                                                  occ=self.occ)
@@ -283,8 +297,12 @@ class SamNerfRenderer:
             pts[0, 0] = [click_xy[0] * scale, click_xy[1] * scale]
             labels = np.full((1, max_points), -1, np.int32)
             labels[0, 0] = 1
-            return decode_and_compose(dec_params, frame,
-                                      jnp.asarray(pts), jnp.asarray(labels))
+            img, mask = decode_and_compose(dec_params, frame,
+                                           jnp.asarray(pts),
+                                           jnp.asarray(labels))
+            # mask is a decode by-product already on device; fetching it
+            # is opt-in so the benched path still moves one buffer
+            return (img, mask) if return_mask else img
 
         return serve
 

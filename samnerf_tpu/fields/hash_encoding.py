@@ -122,8 +122,17 @@ class ParityHashEncoding(nn.Module):
                     [live.reshape(n), jnp.zeros((pad,), live.dtype)])
         if self.quantize_serve:
             qb = self.quant_bits if live is None else 8
-            packed, scales = quantize_parity_table(
-                jax.lax.stop_gradient(table), qbits=qb)
+            if (not self.is_initializing()
+                    and self.has_variable("params", f"qtable{qb}")):
+                # pre-baked packed tables (ops.hash_pallas.
+                # bake_quantized_tables): skips the per-frame quantize +
+                # pack of the f32 masters and carries the MSE-optimal
+                # clip scales the bake searched for
+                packed = self.get_variable("params", f"qtable{qb}")
+                scales = self.get_variable("params", f"qscales{qb}")
+            else:
+                packed, scales = quantize_parity_table(
+                    jax.lax.stop_gradient(table), qbits=qb)
             out = parity_hash_encode_q8(packed, scales, positions, scalings,
                                         self.num_steps,
                                         hash_fn=self.hash_fn, live=live,

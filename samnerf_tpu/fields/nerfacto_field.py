@@ -111,9 +111,12 @@ def _fused_encode_mlp(enc_mods, mlp, flat: jax.Array, hash_fn: str,
     num_steps = enc_mods[0].num_steps
     for e in enc_mods:
         assert e.num_steps == num_steps, "stacked pyramids share table size"
-        pk, sc = quantize_parity_table(
-            jax.lax.stop_gradient(e.variables["params"]["table"]),
-            qbits=quant_bits)
+        ep = e.variables["params"]
+        if f"qtable{quant_bits}" in ep:      # pre-baked (bake_quantized_tables)
+            pk, sc = ep[f"qtable{quant_bits}"], ep[f"qscales{quant_bits}"]
+        else:
+            pk, sc = quantize_parity_table(
+                jax.lax.stop_gradient(ep["table"]), qbits=quant_bits)
         packed.append(pk)
         scales.append(sc)
         scalings.append(tuple(

@@ -96,6 +96,13 @@ class SAMModelConfig:
     serve_quant_bits).  Proposals just place samples — int4 noise there
     perturbs sample positions, not radiances — so q4-proposals is the
     fallback if full q4 fails frame parity."""
+    serve_quant_bits_sam: int = 0
+    """Override for the SAM/ClipSeg FEATURE pyramids only (0 = same as
+    serve_quant_bits).  The feature pyramids are the largest tables in
+    the frame (2 x 12 levels x 8 feats @ 2^19) and their output is
+    consumed by the mask decoder, not the eye — int4 there keeps the
+    rgb path bit-exact while halving the SAM-field slab scan; qualify
+    via MASK parity (decoded-mask IoU vs the q8 frame), not rgb PSNR."""
     serve_fuse_mlp: bool = False
     """Serve-only: run each hash encode + its base MLP as one Pallas
     kernel (``ops.hash_pallas.parity_hash_encode_qmlp``) — the encode
@@ -185,7 +192,8 @@ class SAMModel(nn.Module):
                 use_dino=cfg.use_dino_feature,
                 use_clipseg=cfg.use_clipseg_feature,
                 compute_dtype=cfg.compute_dtype, hash_q8=cfg.hash_q8_serve,
-                hash_fn=cfg.hash_fn, quant_bits=cfg.serve_quant_bits,
+                hash_fn=cfg.hash_fn,
+                quant_bits=cfg.serve_quant_bits_sam or cfg.serve_quant_bits,
                 fuse_mlp=cfg.serve_fuse_mlp, sort_points=cfg.sort_points,
                 name="sam_field")
             self.conv = ConvHead(kernel_size=cfg.kernel_size,

@@ -1060,7 +1060,32 @@ def _fwd_call_v4(packed_table, positions_t, meta, scale, ids, *, num_steps,
 # master parameter tables, so trained checkpoints serve unchanged.
 
 
-def quantize_parity_table(table: jax.Array, qbits: int = 8):
+def optimal_quant_scales(table: jax.Array, qbits: int = 8,
+                         num_candidates: int = 12) -> jax.Array:
+    """MSE-optimal symmetric quantization scale per (pack, level) row.
+
+    The default max|.|/qmax scale is outlier-dominated: one large entry
+    in a 2^19 table forces a coarse step for every other entry, which is
+    where most of int4's frame-parity loss comes from.  This searches
+    ``num_candidates`` clip fractions of the max scale and returns, per
+    PL row, the one minimizing total quantization MSE (entries beyond
+    the clip saturate).  Bake-time only (sequential over candidates, so
+    peak memory stays one table copy); pass the result to
+    :func:`quantize_parity_table` via ``scales=``."""
+    qmax = 127 if qbits == 8 else 7
+    base = jnp.maximum(jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / qmax
+    fracs = jnp.linspace(1.0 / num_candidates, 1.0, num_candidates)
+
+    def err(frac):
+        s = (base * frac)[:, None, None, None]
+        q = jnp.clip(jnp.round(table / s), -qmax, qmax)
+        return jnp.sum((q * s - table) ** 2, axis=(1, 2, 3))
+
+    errs = jax.lax.map(err, fracs)                    # [K, PL]
+    return base * fracs[jnp.argmin(errs, axis=0)]
+
+
+def quantize_parity_table(table: jax.Array, qbits: int = 8, scales=None):
     """[PL, steps*8, 128, 2] f32 master -> (packed [PL, ceil(steps/E)*8,
     128] f32-bitcast, scales [PL] f32) with E = 32 // (2 * qbits) entries
     per u32 lane.
@@ -1070,15 +1095,17 @@ def quantize_parity_table(table: jax.Array, qbits: int = 8):
     quarter q as (f0 in the low nibble, f1 in the high nibble) — 4
     entries/lane, HALF the q8 row-groups, so the VPU-bound slab scan runs
     ~2x faster again at a quantization-noise cost (A/B the frame parity
-    before enabling; symmetric scale max|.|/7 per (pack, level))."""
+    before enabling).  ``scales``: per-PL-row scale override (e.g. from
+    :func:`optimal_quant_scales`); default symmetric max|.|/qmax."""
     assert qbits in (8, 4)
     pl_rows, rows, _, _ = table.shape
     steps = rows // PARITIES
     epl = 2 if qbits == 8 else 4             # entries per u32 lane
     steps_q = max(-(-steps // epl), 1)
     qmax = 127 if qbits == 8 else 7
-    scales = jnp.maximum(
-        jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / qmax
+    if scales is None:
+        scales = jnp.maximum(
+            jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / qmax
     q = jnp.clip(jnp.round(table / scales[:, None, None, None]),
                  -qmax, qmax).astype(jnp.int32)
     # rows (8t+s) -> class-entry order e = t*128 + lane
@@ -1105,6 +1132,49 @@ def quantize_parity_table(table: jax.Array, qbits: int = 8):
     u32 = jnp.transpose(u32, (0, 2, 1, 3))          # [PL, tq, 8, 128]
     u32 = u32.reshape(pl_rows, steps_q * PARITIES, LANES)
     return jax.lax.bitcast_convert_type(u32, jnp.float32), scales
+
+
+def is_parity_table(leaf) -> bool:
+    """True for a ParityHashEncoding master table leaf
+    ([PL, steps*8, 128, 2] f32; see :func:`init_parity_table`)."""
+    return (hasattr(leaf, "ndim") and leaf.ndim == 4
+            and leaf.shape[-1] == 2 and leaf.shape[-2] == LANES
+            and leaf.shape[-3] % PARITIES == 0)
+
+
+def bake_quantized_tables(params, qbits=(8, 4), optimize: int = 12):
+    """Pre-quantize every parity hash table in a params pytree (ONCE,
+    at serve setup) instead of re-quantizing inside every jitted frame.
+
+    For each dict containing a master ``table`` leaf (identified by the
+    parity layout, :func:`is_parity_table`), adds sibling leaves
+    ``qtable{b}`` / ``qscales{b}`` for each b in ``qbits`` —
+    ``ParityHashEncoding`` and the fused serve kernels pick these up
+    when present and skip the in-frame quantize + pack.  ``optimize``:
+    number of clip-fraction candidates for the MSE-optimal scale search
+    (:func:`optimal_quant_scales`; 0 = plain max-scale, which matches
+    the in-frame quantization bit-for-bit).  Returns a new pytree;
+    master tables are kept (training/live-mask fallbacks still work).
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            t = node.get("table")
+            if t is not None and is_parity_table(t):
+                for b in qbits:
+                    sc = (optimal_quant_scales(t, qbits=b,
+                                               num_candidates=optimize)
+                          if optimize else None)
+                    pk, sc = quantize_parity_table(t, qbits=b, scales=sc)
+                    out[f"qtable{b}"] = pk
+                    out[f"qscales{b}"] = sc
+            return out
+        return node
+    import flax
+    was_frozen = isinstance(params, flax.core.FrozenDict)
+    tree = flax.core.unfreeze(params) if was_frozen else params
+    baked = walk(tree)
+    return flax.core.freeze(baked) if was_frozen else baked
 
 
 def _fwd_kernel_q8(meta_ref, scale_ref, pos_ref, table_ref, out_ref,
@@ -1429,7 +1499,7 @@ def _parity_hash_encode_q8_ref(packed_q8, scales, positions, scalings,
 
 def _fwd_kernel_qmlp(meta_ref, scale_ref, pos_ref, table_ref, w1_ref,
                      b1_ref, w2_ref, b2_ref, out_ref, lo_s, hi_s, w_s,
-                     acc_s, mask_s, *, num_steps: int, pl_rows: int,
+                     acc_s, acc2_s, mask_s, *, num_steps: int, pl_rows: int,
                      tile: int, slab: int, n_slabs: int, gcol: int,
                      hash_fn: str = "reference", qbits: int = 8):
     """Grid (tiles, PL, slabs) — the tile is the OUTER dimension so
@@ -1467,6 +1537,7 @@ def _fwd_kernel_qmlp(meta_ref, scale_ref, pos_ref, table_ref, w1_ref,
         lo_s[...] = loq
         hi_s[...] = hiq
         w_s[...] = w
+        acc2_s[...] = jnp.zeros_like(acc2_s)
         sl_of = hiq >> slab_shift
         for sl in range(n_slabs):
             mask_s[sl] = jnp.max((sl_of == sl).astype(jnp.int32))
@@ -1474,13 +1545,6 @@ def _fwd_kernel_qmlp(meta_ref, scale_ref, pos_ref, table_ref, w1_ref,
     @pl.when((s_id < n_slabs_l) & (mask_s[s_id] > 0))
     def _scan_slab():
         base = s_id * slab
-        row = pid * 2
-        c_pad = acc_s.shape[0]
-        # Mosaic cannot vector-store at a dynamic sublane offset (row =
-        # 2*pid is not provably 8-aligned), so the 2-row update is a
-        # full-height masked add — [C_pad, 128] of VPU work per group,
-        # noise next to the slab-gather scan above it.
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANES), 0)
 
         def scan_group(j):
             cols = slice(j * LANES, (j + 1) * LANES)
@@ -1494,14 +1558,26 @@ def _fwd_kernel_qmlp(meta_ref, scale_ref, pos_ref, table_ref, w1_ref,
                 g = jnp.take_along_axis(src, lo, axis=1)
                 acc = jnp.where(hi == u, g, acc)
             f0, f1 = _dequant_selected(acc, sel, qscale, qbits)
-            upd = jnp.where(
-                r_iota == row, jnp.sum(f0 * w, axis=0, keepdims=True),
-                jnp.where(r_iota == row + 1,
-                          jnp.sum(f1 * w, axis=0, keepdims=True), 0.0))
-            acc_s[:, cols] += upd
+            acc2_s[0:1, cols] += jnp.sum(f0 * w, axis=0, keepdims=True)
+            acc2_s[1:2, cols] += jnp.sum(f1 * w, axis=0, keepdims=True)
 
         for j in range(tile // LANES):
             scan_group(j)
+
+    @pl.when(s_id == n_slabs - 1)
+    def _merge_rows():
+        # Mosaic cannot vector-store at a dynamic sublane offset (row =
+        # 2*pid is not provably 8-aligned), so the per-pid 2-row merge
+        # into the [C_pad, tile] accumulator is a full-height masked add
+        # — but only ONCE per (tile, pid), not per touched slab x group
+        # like the pre-r4 kernel (the per-slab variant's masked adds
+        # dominated and made fused serving slower than unfused).
+        row = pid * 2
+        c_pad = acc_s.shape[0]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, tile), 0)
+        acc_s[...] += jnp.where(
+            r_iota == row, acc2_s[0:1, :],
+            jnp.where(r_iota == row + 1, acc2_s[1:2, :], 0.0))
 
     @pl.when((pid == pl_rows - 1) & (s_id == n_slabs - 1))
     def _mlp_epilogue():
@@ -1620,6 +1696,7 @@ def parity_hash_encode_qmlp(packed_list, scales_list, positions,
             pltpu.VMEM((PARITIES, tile), jnp.int32),
             pltpu.VMEM((PARITIES, tile), jnp.float32),
             pltpu.VMEM((c_pad, tile), jnp.float32),
+            pltpu.VMEM((PARITIES, tile), jnp.float32),  # acc2: rows 0/1 used
             pltpu.SMEM((n_slabs,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(

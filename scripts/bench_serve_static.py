@@ -118,18 +118,26 @@ def main():
 
     clicks = [(200.0 + 3.0 * i, 256.0 - 2.0 * i) for i in range(64)]
 
-    def measure(serve_fn):
-        out = np.asarray(serve_fn(params, cam_at(0), 0, clicks[0]))
-        np.asarray(serve_fn(params, cam_at(1), 0, clicks[1]))
+    def measure(serve_fn, run_params):
+        out, mask = serve_fn(run_params, cam_at(0), 0, clicks[0],
+                             return_mask=True)
+        out, mask = np.asarray(out), np.asarray(mask)
+        np.asarray(serve_fn(run_params, cam_at(1), 0, clicks[1]))
         n = 8
         t0 = time.time()
-        pending = serve_fn(params, cam_at(2), 0, clicks[2])
+        pending = serve_fn(run_params, cam_at(2), 0, clicks[2])
         for i in range(1, n + 1):
-            nxt = (serve_fn(params, cam_at(2 + i), 0, clicks[2 + i])
+            nxt = (serve_fn(run_params, cam_at(2 + i), 0, clicks[2 + i])
                    if i < n else None)
             np.asarray(pending)
             pending = nxt
-        return n / (time.time() - t0), out
+        return n / (time.time() - t0), out, mask
+
+    def mask_iou(a, b):
+        union = np.logical_or(a, b).sum()
+        if union == 0:
+            return 1.0
+        return float(np.logical_and(a, b).sum() / union)
 
     VARIANTS = {
         "base": {},
@@ -155,6 +163,18 @@ def main():
         "q4": {"qbits": 4},
         "fusedq4": {"fuse": True, "qbits": 4},
         "fusedq4prop": {"fuse": True, "qbits": "prop4"},
+        # round-4 second wave: pre-baked tables (quantize once at setup,
+        # MSE-optimal clip scales), per-field int4, fixed fused kernel
+        "bake": {"bake": 0},            # bit-exact vs base (parity check)
+        "bakeopt": {"bake": 12},
+        "q4opt": {"qbits": 4, "bake": 12},
+        "q4sam": {"qbits_sam": 4},      # rgb bit-exact, SAM scan halved
+        "q4samopt": {"qbits_sam": 4, "bake": 12},
+        "q4props": {"qbits": "prop4"},
+        "fusedfix": {"fuse": True, "bake": 12},
+        "fusedfixq4": {"fuse": True, "qbits": 4, "bake": 12},
+        "best": {"qbits": 4, "qbits_sam": 4, "bake": 12, "slab": 8},
+        "q4slab8": {"qbits": 4, "slab": 8, "bake": 12},
     }
 
     results = []
@@ -179,6 +199,9 @@ def main():
             cfg = dataclasses.replace(cfg, serve_quant_bits=4)
         elif spec.get("qbits") == "prop4":
             cfg = dataclasses.replace(cfg, serve_quant_bits_props=4)
+        if spec.get("qbits_sam"):
+            cfg = dataclasses.replace(cfg,
+                                      serve_quant_bits_sam=spec["qbits_sam"])
         from samnerf_tpu.fields import nerfacto_field
         old_livek = nerfacto_field._LIVE_TO_KERNEL
         nerfacto_field._LIVE_TO_KERNEL = bool(spec.get("livek"))
@@ -190,16 +213,27 @@ def main():
                 occ_frac = snr.bake_occupancy(params)
                 print(f"{name}: occupancy baked, "
                       f"{occ_frac:.3f} occupied", flush=True)
+            run_params = params
+            if "bake" in spec:
+                t0 = time.time()
+                run_params = snr.bake_serve_tables(params,
+                                                   optimize=spec["bake"])
+                jax.block_until_ready(run_params)
+                print(f"{name}: tables baked (optimize={spec['bake']}) "
+                      f"in {time.time()-t0:.1f}s", flush=True)
             serve = snr.serve_frame_fn(sam, dec_params, H, W,
                                        preset="static")
             t0 = time.time()
-            fps, frame = measure(serve)
+            fps, frame, mask = measure(serve, run_params)
             if name == "base":
-                ref["frame"] = frame
+                ref["frame"], ref["mask"] = frame, mask
             parity = (psnr_u8(frame, ref["frame"])
                       if "frame" in ref and name != "base" else float("inf"))
+            miou = (mask_iou(mask, ref["mask"])
+                    if "mask" in ref and name != "base" else 1.0)
             row = {"variant": name, "static_fps": round(fps, 3),
                    "parity_psnr_vs_base": round(parity, 2),
+                   "mask_iou_vs_base": round(miou, 4),
                    "compile_s": round(time.time() - t0)}
         except Exception as e:
             row = {"variant": name, "error": repr(e)[:200]}

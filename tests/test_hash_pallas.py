@@ -817,3 +817,74 @@ def test_qmlp_cpu_fallback():
     expect = jnp.maximum(enc @ w1 + b1, 0.0) @ w2 + b2
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("qbits", [8, 4])
+def test_optimal_quant_scales_reduce_mse(qbits):
+    """On a heavy-tailed table (one outlier per PL row), the MSE-optimal
+    clip scale must beat the outlier-dominated max scale."""
+    table = hp.init_parity_table(jax.random.PRNGKey(0), 3, 4, 1, scale=0.1)
+    table = table.at[:, 0, 0, 0].set(5.0)           # outliers
+    qmax = 127 if qbits == 8 else 7
+    base = jnp.maximum(jnp.max(jnp.abs(table), axis=(1, 2, 3)), 1e-12) / qmax
+    opt = hp.optimal_quant_scales(table, qbits=qbits)
+
+    def mse(s):
+        s4 = s[:, None, None, None]
+        q = jnp.clip(jnp.round(table / s4), -qmax, qmax)
+        return float(jnp.sum((q * s4 - table) ** 2))
+
+    # frac=1.0 is always a candidate, so the search can never lose; at
+    # int4 the outlier must get clipped (strict win), at int8 the 127
+    # levels absorb it and max-scale stays optimal on this table
+    assert mse(opt) <= mse(base)
+    if qbits == 4:
+        assert mse(opt) < 0.95 * mse(base)
+    # and the reference dequant path accepts the override end to end
+    scalings = tuple(hash_grid_scalings(3, 4, 64).tolist())
+    pk, sc = hp.quantize_parity_table(table, qbits=qbits, scales=opt)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(opt))
+    out = hp._parity_hash_encode_q8_ref(pk, sc, jax.random.uniform(
+        jax.random.PRNGKey(2), (128, 3)), scalings, 4, qbits=qbits)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("qbits", [8, 4])
+def test_baked_tables_match_inline_quantization(qbits):
+    """ParityHashEncoding with bake_quantized_tables(optimize=0) params
+    must be BIT-IDENTICAL to the inline per-frame quantize path, and the
+    MSE-optimized bake must stay close to the f32 encode."""
+    from samnerf_tpu.fields.hash_encoding import ParityHashEncoding
+
+    enc = ParityHashEncoding(num_levels=2, min_res=4, max_res=16,
+                             log2_hashmap_size=10, quantize_serve=True,
+                             quant_bits=qbits)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (256, 3))
+    params = enc.init(jax.random.PRNGKey(1), pos)
+    inline = enc.apply(params, pos)
+    baked0 = hp.bake_quantized_tables(params, optimize=0)
+    assert f"qtable{qbits}" in baked0["params"]
+    np.testing.assert_array_equal(np.asarray(enc.apply(baked0, pos)),
+                                  np.asarray(inline))
+    baked = hp.bake_quantized_tables(params, optimize=12)
+    out_opt = enc.apply(baked, pos)
+    # optimized scales change values but stay within quantization noise
+    step = float(jnp.max(jnp.abs(np.asarray(baked["params"]
+                                            [f"qscales{qbits}"]))))
+    assert float(jnp.max(jnp.abs(out_opt - inline))) <= 16 * step + 1e-6
+
+
+def test_bake_quantized_tables_walks_nested_pytrees():
+    """The bake must find tables at any depth and ignore non-parity
+    leaves (XLA HashEncoding tables, MLP kernels)."""
+    t = hp.init_parity_table(jax.random.PRNGKey(0), 2, 2, 1)
+    tree = {"params": {"fields": {"enc": {"table": t}},
+                       "mlp": {"kernel": jnp.zeros((4, 4))},
+                       "xla_enc": {"table": jnp.zeros((2, 16, 2))}}}
+    baked = hp.bake_quantized_tables(tree, qbits=(8,), optimize=0)
+    assert "qtable8" in baked["params"]["fields"]["enc"]
+    assert "qscales8" in baked["params"]["fields"]["enc"]
+    assert "qtable8" not in baked["params"]["xla_enc"]
+    # masters kept for live-mask / training fallbacks
+    np.testing.assert_array_equal(
+        np.asarray(baked["params"]["fields"]["enc"]["table"]), np.asarray(t))
