@@ -64,6 +64,10 @@ def main():
                     help="training hash_fn (morton / morton6 / reference); "
                          "serve inherits it from the saved model config")
     ap.add_argument("--out", default="/tmp/r4/serve_ab.json")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace of one frame per "
+                         "variant and print the device-op breakdown "
+                         "(scripts/profile_frame.py aggregation)")
     args = ap.parse_args()
 
     import jax
@@ -225,6 +229,17 @@ def main():
                                        preset="static")
             t0 = time.time()
             fps, frame, mask = measure(serve, run_params)
+            if args.trace:
+                from profile_frame import aggregate
+                trace_dir = f"/tmp/trace_serve_{name}"
+                jax.profiler.start_trace(trace_dir)
+                np.asarray(serve(run_params, cam_at(40), 0, clicks[40]))
+                jax.profiler.stop_trace()
+                buckets, total, nev = aggregate(trace_dir)
+                print(f"--- {name} device-op breakdown "
+                      f"({nev} events, {total/1e3:.0f} ms):", flush=True)
+                for bname, dur in buckets.most_common(24):
+                    print(f"  {dur/1e3:9.1f} ms  {bname}", flush=True)
             if name == "base":
                 ref["frame"], ref["mask"] = frame, mask
             parity = (psnr_u8(frame, ref["frame"])

@@ -21,7 +21,8 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
                    args_views=24, hash_fn="reference",
                    return_trainer=False, skip_metrics=False,
                    persist_run=True, compute_dtype=None,
-                   steps_per_save=10 ** 9, run_name=None):
+                   steps_per_save=10 ** 9, run_name=None,
+                   load_dir=None):
     from samnerf_tpu.configs.methods import method_configs
     from samnerf_tpu.data.datamanager import DataManager, DataManagerConfig
     from samnerf_tpu.data.dataparser import DataparserConfig
@@ -49,8 +50,10 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         steps_per_eval_batch=10 ** 9,
         output_dir=Path(f"/tmp/qruns/"
                         f"{run_name or f'{log2_size}-{hash_fn}-{steps}'}"),
-        log_every=max(steps // 4, 1), save_final=persist_run)
+        log_every=max(steps // 4, 1), save_final=persist_run,
+        load_dir=Path(load_dir) if load_dir else None)
     trainer = Trainer(model_cfg, trainer_cfg, preset.optimizers, dm)
+    start_step = int(trainer.state.step)  # nonzero when resuming
     if persist_run:
         # persist a servable run dir (config.json + final ckpt): eval_setup /
         # BENCH_CKPT can then re-serve any quality-study checkpoint.
@@ -66,7 +69,8 @@ def train_and_eval(scene, log2_size, prop_log2, steps, rays_per_batch,
         return None, trainer
     m = compute_eval_metrics(trainer, max_images=4)
     m["train_s"] = round(train_s, 1)
-    m["rays_per_s"] = round(steps * rays_per_batch / train_s)
+    m["rays_per_s"] = round((steps - start_step) * rays_per_batch / train_s)
+    m["resumed_from"] = start_step
 
     # train-split PSNR on 2 held-in views: separates overfitting (train
     # high / test low) from a model that never learned (both low).

@@ -114,6 +114,10 @@ def main():
                          "run (samconfigs.py:109,120-121: 10k x 16384)")
     ap.add_argument("--save-every", type=int, default=2500)
     ap.add_argument("--run-name", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint under the "
+                         "persisted run dir (scene + feature targets are "
+                         "regenerated deterministically)")
     args = ap.parse_args()
 
     from samnerf_tpu.utils.synthetic import write_textured_scene
@@ -136,7 +140,11 @@ def main():
                                 persist_run=args.persist,
                                 steps_per_save=(args.save_every
                                                 if args.persist else 10 ** 9),
-                                run_name=args.run_name)
+                                run_name=args.run_name,
+                                load_dir=(f"/tmp/qruns/{args.run_name}/"
+                                          "samnerf_tpu_ckpts"
+                                          if args.resume and args.run_name
+                                          else None))
     t_train = time.time() - t_train
     print(m, flush=True)
     print(f"train+metrics wall: {t_train:.0f}s "
