@@ -212,7 +212,8 @@ class ImageRenderer:
         ``_frame_fns`` cache and first-call jit tracing must not race."""
 
     def _build_frame_fn(self, h: int, w: int, features: Tuple[str, ...],
-                        use_crop: bool = False, use_occ: bool = False):
+                        use_crop: bool = False, use_occ: bool = False,
+                        minimal: bool = False):
         cfg = self.cfg
         chunk = self.chunk
         rgb_np, rgb_unflatten = _blocked_coords(h, w, chunk)
@@ -276,15 +277,18 @@ class ImageRenderer:
                 return jax.lax.map(body, coords)
 
             out = run(rgb_coords, (), return_topk=fuse)
-            outputs = {
-                "rgb": rgb_unflatten(out["rgb"].reshape(-1, 3)),
-                "depth": rgb_unflatten(out["depth"].reshape(-1, 1)),
-                "accumulation": rgb_unflatten(
-                    out["accumulation"].reshape(-1, 1)),
-            }
-            for i in range(cfg.num_proposal_iterations):
-                k = f"prop_depth_{i}"
-                outputs[k] = rgb_unflatten(out[k].reshape(-1, 1))
+            outputs = {"rgb": rgb_unflatten(out["rgb"].reshape(-1, 3))}
+            if not minimal:
+                # depth/accumulation/per-level median depths are viewer
+                # outputs; the serve fast path (rgb + feature grids +
+                # on-device mask decode) drops them so XLA dead-code-
+                # eliminates the one-hot median-depth contractions.
+                outputs["depth"] = rgb_unflatten(out["depth"].reshape(-1, 1))
+                outputs["accumulation"] = rgb_unflatten(
+                    out["accumulation"].reshape(-1, 1))
+                for i in range(cfg.num_proposal_iterations):
+                    k = f"prop_depth_{i}"
+                    outputs[k] = rgb_unflatten(out[k].reshape(-1, 1))
 
             if fuse:
                 w_flat = out["topk_w"].reshape(-1, k_top, 1)
@@ -330,11 +334,13 @@ class ImageRenderer:
                                                               cam_idx))
 
     def _frame_fn(self, h: int, w: int, features: Tuple[str, ...],
-                  use_crop: bool, use_occ: bool = False):
-        key = (h, w, tuple(features), use_crop, use_occ)
+                  use_crop: bool, use_occ: bool = False,
+                  minimal: bool = False):
+        key = (h, w, tuple(features), use_crop, use_occ, minimal)
         if key not in self._frame_fns:
             self._frame_fns[key] = self._build_frame_fn(h, w, tuple(features),
-                                                        use_crop, use_occ)
+                                                        use_crop, use_occ,
+                                                        minimal)
         return self._frame_fns[key]
 
     def render_image(self, params, cameras: Cameras, camera_index: int,
@@ -357,11 +363,19 @@ class ImageRenderer:
     def render_image_device(self, params, cameras: Cameras, camera_index,
                             width: int, height: int,
                             features: Tuple[str, ...] = (),
-                            crop_aabb=None, crop_bg=None, occ=None):
-        """Device-resident variant (viewer keeps arrays on device)."""
+                            crop_aabb=None, crop_bg=None, occ=None,
+                            minimal: bool = False):
+        """Device-resident variant (viewer keeps arrays on device).
+
+        minimal=True returns only rgb (+ requested feature grids): the
+        depth / accumulation / per-level median-depth outputs and their
+        one-hot contractions are dead-code-eliminated from the compiled
+        frame — the serve fast path (``SamNerfRenderer.serve_frame_fn``)
+        never consumes them."""
         with self._lock:
             fn = self._frame_fn(height, width, tuple(features),
-                                crop_aabb is not None, occ is not None)
+                                crop_aabb is not None, occ is not None,
+                                minimal)
             ci = jnp.asarray(camera_index, jnp.int32)
             args = [params, cameras, ci]
             if crop_aabb is not None:

@@ -272,8 +272,18 @@ class SamNerfRenderer:
                  if self.cfg.distill_sam and self.cfg.use_clipseg_feature
                  else ("sam",) if self.cfg.distill_sam else ())
 
+        occ = self.occ
+
         @jax.jit
-        def decode_and_compose(dec_params, frame, coords, labels):
+        def render_decode(params, dec_params, cameras, cam_idx, coords,
+                          labels):
+            # ONE dispatch per frame: the (minimal) frame render inlines
+            # with the mask decode + composite, so serving costs a single
+            # host->device round trip (two dispatches measurably add
+            # tunnel latency per frame)
+            frame = renderer.render_image_device(params, cameras, cam_idx,
+                                                 W, H, features=feats,
+                                                 occ=occ, minimal=True)
             low_res, _ = sam.apply(dec_params, frame["sam"][None],
                                    (coords, labels), None, None, False,
                                    method=Sam.decode_masks)
@@ -284,22 +294,22 @@ class SamNerfRenderer:
             overlay = jnp.where(
                 mask[..., None],
                 0.5 * rgb + 0.5 * jnp.asarray([1.0, 0.0, 0.0]), rgb)
-            return ((jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8),
-                    mask)
+            img = (jnp.clip(overlay, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            # the ClipSeg grid is part of the serve frame contract (text
+            # prompts decode from it); return it so XLA cannot dead-code-
+            # eliminate its render when the caller only fetches the frame
+            extra = frame["clipseg"] if "clipseg" in frame else mask
+            return img, mask, extra
 
         def serve(params, cameras, cam_idx, click_xy, return_mask=False):
-            frame = renderer.render_image_device(params, cameras, cam_idx,
-                                                 W, H, features=feats,
-                                                 occ=self.occ)
             # click -> 1024-frame coords (ResizeLongestSide convention)
             scale = 1024.0 / max(H, W)
             pts = np.zeros((1, max_points, 2), np.float32)
             pts[0, 0] = [click_xy[0] * scale, click_xy[1] * scale]
             labels = np.full((1, max_points), -1, np.int32)
             labels[0, 0] = 1
-            img, mask = decode_and_compose(dec_params, frame,
-                                           jnp.asarray(pts),
-                                           jnp.asarray(labels))
+            img, mask, _ = render_decode(params, dec_params, cameras, cam_idx,
+                                         jnp.asarray(pts), jnp.asarray(labels))
             # mask is a decode by-product already on device; fetching it
             # is opt-in so the benched path still moves one buffer
             return (img, mask) if return_mask else img

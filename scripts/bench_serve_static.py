@@ -179,6 +179,11 @@ def main():
         "fusedfixq4": {"fuse": True, "qbits": 4, "bake": 12},
         "best": {"qbits": 4, "qbits_sam": 4, "bake": 12, "slab": 8},
         "q4slab8": {"qbits": 4, "slab": 8, "bake": 12},
+        # SAM top-k below the static preset's 8 (parity gates: >40 dB
+        # frame + mask IoU ~1.0 to qualify as "visually identical")
+        "k4": {"k": 4},
+        "k6": {"k": 6},
+        "k4q4sam": {"k": 4, "qbits_sam": 4, "bake": 12},
     }
 
     results = []
@@ -209,6 +214,10 @@ def main():
         from samnerf_tpu.fields import nerfacto_field
         old_livek = nerfacto_field._LIVE_TO_KERNEL
         nerfacto_field._LIVE_TO_KERNEL = bool(spec.get("livek"))
+        old_presets = dict(SamNerfRenderer.SERVE_PRESETS)
+        if "k" in spec:
+            SamNerfRenderer.SERVE_PRESETS = {
+                **old_presets, "static": dict(k=spec["k"])}
         try:
             snr = SamNerfRenderer(SAMModel(cfg),
                                   chunk=spec.get("chunk", 1 << 15),
@@ -256,6 +265,7 @@ def main():
             hash_pallas.V2_SLAB = old_slab
             hash_pallas.V2_SLAB_SERVE = old_slab_serve
             nerfacto_field._LIVE_TO_KERNEL = old_livek
+            SamNerfRenderer.SERVE_PRESETS = old_presets
             os.environ.pop("SAMNERF_HASH_KERNEL", None)
             os.environ.pop("SAMNERF_GROUP_SKIP", None)
         results.append(row)

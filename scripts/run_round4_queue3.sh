@@ -8,9 +8,9 @@ Q2=$(cat /tmp/r4/queue2.pid 2>/dev/null)
 while [ -n "$Q2" ] && kill -0 "$Q2" 2>/dev/null; do sleep 60; done
 sleep 10
 
-timeout 4200 python scripts/bench_serve_static.py \
+timeout 5400 python scripts/bench_serve_static.py \
   --load /tmp/qruns/serve_ab --run-name serve_ab \
-  --variants base,q4sam,best --trace \
-  --out /tmp/r4/serve_trace.json 2>&1 | tee /tmp/r4/serve_trace.log
+  --variants base,k4,k6,k4q4sam --trace \
+  --out docs/SERVE_AB_r4_k.json 2>&1 | tee /tmp/r4/serve_trace.log
 
 echo "QUEUE3 DONE"

@@ -87,3 +87,39 @@ def test_blocked_and_rowmajor_chunking_render_identically():
                                atol=1e-6)
     np.testing.assert_allclose(blocked["depth"], rowmajor["depth"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_minimal_frame_matches_full():
+    """minimal=True (the serve fast path) must return the identical rgb
+    while omitting depth/accumulation/prop_depth (XLA then dead-code-
+    eliminates their one-hot median contractions from the frame)."""
+    from samnerf_tpu.core.cameras import Cameras
+    from samnerf_tpu.core.rays import RayBundle
+    from samnerf_tpu.engine.eval_render import ImageRenderer
+    from samnerf_tpu.models.sam_model import SAMModel, SAMModelConfig
+
+    cfg = SAMModelConfig(
+        num_levels=2, max_res=32, log2_hashmap_size=10,
+        num_proposal_samples_per_ray=(4,), num_nerf_samples_per_ray=4,
+        proposal_net_args=({"hidden_dim": 8, "log2_hashmap_size": 10,
+                            "num_levels": 2, "max_res": 16},),
+        distill_sam=False)
+    model = SAMModel(cfg)
+    n = 8
+    rb = RayBundle(origins=jnp.zeros((n, 3)),
+                   directions=jnp.eye(3)[jnp.zeros((n,), jnp.int32)],
+                   pixel_area=jnp.ones((n, 1)) * 1e-6,
+                   camera_indices=jnp.zeros((n, 1), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), rb, rng=jax.random.PRNGKey(1),
+                        train=False)
+    cams = Cameras(camera_to_worlds=jnp.eye(4)[None, :3, :4],
+                   fx=jnp.asarray([[40.0]]), fy=jnp.asarray([[40.0]]),
+                   cx=jnp.asarray([[16.0]]), cy=jnp.asarray([[16.0]]),
+                   width=32, height=32)
+    r = ImageRenderer(model, chunk=256)
+    full = r.render_image(params, cams, 0)
+    minimal = r.render_image_device(params, cams, 0, 32, 32, minimal=True)
+    assert set(minimal.keys()) == {"rgb"}
+    np.testing.assert_allclose(np.asarray(minimal["rgb"]), full["rgb"],
+                               rtol=1e-6, atol=1e-7)
+    assert "depth" in full and "prop_depth_0" in full
