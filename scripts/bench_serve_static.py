@@ -184,6 +184,17 @@ def main():
         "k4": {"k": 4},
         "k6": {"k": 6},
         "k4q4sam": {"k": 4, "qbits_sam": 4, "bake": 12},
+        # round-5: compose the quality-passing levers (k=4 trim +
+        # int4-on-SAM-pyramids) with the scan/dispatch levers that were
+        # only ever measured on the full-k path
+        "k4q4samslab8": {"k": 4, "qbits_sam": 4, "bake": 12, "slab": 8},
+        "k4q4samslab16": {"k": 4, "qbits_sam": 4, "bake": 12, "slab": 16},
+        "k4q4sambake0": {"k": 4, "qbits_sam": 4, "bake": 0},
+        "k4q4samc16": {"k": 4, "qbits_sam": 4, "bake": 12,
+                       "chunk": 1 << 16},
+        "k6q4samslab8": {"k": 6, "qbits_sam": 4, "bake": 12, "slab": 8},
+        "k4q4samp4": {"k": 4, "qbits_sam": 4, "qbits": "prop4",
+                      "bake": 12, "slab": 8},
     }
 
     results = []
