@@ -65,21 +65,34 @@ class InstantNGPModel(nn.Module):
         samples = S.initial_samples(rng, rb, cfg.num_samples,
                                     stratified=train)
         positions = samples.positions()
-        density, geo = self.field.get_density(positions)
-        if occupancy is not None:
-            density = density * occupancy_mask(occupancy, positions,
-                                               self.aabb)
-        # color pass reuses the field's full call for view dependence
         out = self.field(positions, samples.directions,
                          samples.camera_indices, train)
-        d = out["density"] if occupancy is None else density
+        d = out["density"]
+        if occupancy is not None:
+            d = d * occupancy_mask(occupancy, positions, self.aabb)
         weights = samples.get_weights(d)
-        bg = "black" if cfg.background_color == "random" and not train \
-            else ("last_sample" if cfg.background_color == "random"
-                  else cfg.background_color)
+        # the reference trains with a per-ray RANDOM background
+        # (RGBRenderer 'random', instant_ngp.py:131): relying on the
+        # background to explain sky pixels is punished, so the field
+        # must carry far content as density — which is what makes the
+        # black-background eval render correctly.  'last_sample' here
+        # (the old behavior) let the model skip that and collapsed eval
+        # PSNR on any scene with a non-black sky.
+        if cfg.background_color == "random":
+            if train and rng is not None:
+                bg_rgb = jax.random.uniform(
+                    jax.random.fold_in(rng, 7),
+                    (weights.shape[0], 3))
+                rgb = render_ops.render_rgb(out["rgb"], weights, "explicit",
+                                            bg_rgb=bg_rgb, training=train)
+            else:
+                rgb = render_ops.render_rgb(out["rgb"], weights, "black",
+                                            training=train)
+        else:
+            rgb = render_ops.render_rgb(out["rgb"], weights,
+                                        cfg.background_color, training=train)
         return {
-            "rgb": render_ops.render_rgb(out["rgb"], weights, bg,
-                                         training=train),
+            "rgb": rgb,
             "accumulation": render_ops.render_accumulation(weights),
             "depth": render_ops.render_depth_expected(weights, samples),
         }
