@@ -195,6 +195,15 @@ def main():
         "k6q4samslab8": {"k": 6, "qbits_sam": 4, "bake": 12, "slab": 8},
         "k4q4samp4": {"k": 4, "qbits_sam": 4, "qbits": "prop4",
                       "bake": 12, "slab": 8},
+        # round-5 wave 2: with the scans shrunk (q4 SAM tables + k=4),
+        # the fused MLPs/compositing are a bigger share — retry bf16
+        # there; probe deeper k trims and a smaller chunk
+        "k4q4sambf16": {"k": 4, "qbits_sam": 4, "bake": 0, "bf16": True},
+        "k3q4sam": {"k": 3, "qbits_sam": 4, "bake": 0},
+        "k2q4sam": {"k": 2, "qbits_sam": 4, "bake": 0},
+        "k4q4samc14": {"k": 4, "qbits_sam": 4, "bake": 0,
+                       "chunk": 1 << 14},
+        "k4q4samv4": {"k": 4, "qbits_sam": 4, "bake": 0, "kernel": "v4"},
     }
 
     results = []
