@@ -2,6 +2,13 @@
 # Round-4 TPU queue, part 2: runs detached (setsid), serialized behind the
 # resumed ref-schedule-10k run (PID in /tmp/r4/miou2.pid).  Each item writes
 # incremental results into the repo so interruptions still land evidence.
+#
+# WHAT ACTUALLY RAN (recorded round 5): item 0's wait never released in
+# round 4 (the 10k run did not finish), so item 1 executed only between
+# rounds and wrote its rows — COMBINED with queue3's — into
+# docs/SERVE_AB_r5_baked.json, not the docs/SERVE_AB_r4_baked.json
+# declared below.  Item 2 (capacity) did not run; it is queue item 4 of
+# scripts/run_round5_queue.sh.
 set -x
 cd /root/repo
 

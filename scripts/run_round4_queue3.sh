@@ -1,6 +1,12 @@
 #!/bin/bash
 # Round-4 TPU queue, part 3: per-variant device-op traces of the serve
 # frame (waits for queue2: /tmp/r4/queue2.pid).
+#
+# WHAT ACTUALLY RAN (recorded round 5): executed between rounds 4 and 5;
+# its k4/k6/k4q4sam rows landed in docs/SERVE_AB_r5_baked.json (combined
+# with queue2's), not the docs/SERVE_AB_r4_k.json declared below; the
+# trace logs went to /tmp and were lost — wave-2
+# (scripts/run_round5_queue.sh item 3) re-traces the winner.
 set -x
 cd /root/repo
 
