@@ -192,6 +192,52 @@ def main():
     fps = measure(lambda c, cam: serve(params, cam, 0, c), 0)
     fps_static = measure(lambda c, cam: serve_static(params, cam, 0, c), 16)
 
+    # --- full interactive-loop FPS: the reference's COMPLETE per-frame
+    # view flow (sam_model.py:437-514) through render_view — chunked
+    # full render, 3D prompt-lock backprojection/reprojection +
+    # visibility test, ClipSeg text->relevance decode on the rendered
+    # grid, SAM predict via the host set_feature path, mask composite +
+    # pin overlay.  Slower than serve_frame_fn by construction (host
+    # round trips per stage); reported so the headline serve numbers
+    # have their full-loop counterpart (BENCH_VIEW=0 skips).
+    fps_view = None
+    if os.environ.get("BENCH_VIEW", "1") == "1":
+        from samnerf_tpu.perception.clipseg.pipeline import ClipSegPredictor
+        from samnerf_tpu.perception.sam.predictor import SamPredictor
+
+        sam_full_params = jax.jit(lambda k: sam.init(
+            k, jnp.zeros((1, 16, 16, 3)),
+            points=(jnp.zeros((1, 1, 2)),
+                    jnp.zeros((1, 1), jnp.int32))))(jax.random.PRNGKey(2))
+        pred = SamPredictor(sam, sam_full_params)
+        cs = ClipSegPredictor()
+        # no BPE vocab ships in this environment: fixed token ids keep
+        # the per-frame text-encoder cost identical to a real prompt
+        _tok = jnp.ones((1, 77), jnp.int32)
+        cs.encode_text = lambda texts: cs._jit_text(cs.text_params, _tok)
+        snr_view = SamNerfRenderer(model, sam_predictor=pred,
+                                   clipseg_predictor=cs,
+                                   chunk=1 << 15, serve_preset="static")
+        intrin = np.array([[400.0, 0.0, W / 2], [0.0, 400.0, H / 2],
+                           [0.0, 0.0, 1.0]])
+        pts = np.array([[W * 0.4, H * 0.5]])  # in-bounds at any BENCH_RES
+
+        def view_frame(i):
+            cam = cam_at(i)
+            return snr_view.render_view(
+                params, cam, 0, intrin, np.asarray(cam.camera_to_worlds[0]),
+                points=pts, text_prompt="object", width=W, height=H,
+                preset="static")
+
+        out = view_frame(0)   # compile + lock the click into a 3D prompt
+        assert "masked_rgb" in out and out["masked_rgb"].shape[:2] == (H, W)
+        view_frame(1)
+        n = 4
+        t0 = time.time()
+        for i in range(2, 2 + n):
+            view_frame(i)
+        fps_view = n / (time.time() - t0)
+
     # v5e-8 extrapolation factor: measured strong-scaling overhead of the
     # sharded frame fn (scripts/bench_scaling.py -> docs/SCALING.json);
     # falls back to the ideal 8x minus nothing only if unmeasured
@@ -218,6 +264,12 @@ def main():
     extra["static_fps"] = round(fps_static, 3)
     extra["static_preset"] = ("train counts, SAM top-k 8 (visually "
                               "identical: 59.7 dB frame parity)")
+    if fps_view is not None:
+        extra["render_view_fps"] = round(fps_view, 3)
+        extra["render_view_flow"] = (
+            "full interactive loop (sam_model.py:437-514): chunked render "
+            "+ 3D prompt lock + visibility + ClipSeg text decode + "
+            "set_feature SAM predict + overlay, host round trips included")
     print(json.dumps({
         "metric": "interactive_sam_512_fps",
         "value": round(fps, 3),
